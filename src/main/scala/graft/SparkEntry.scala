@@ -1,13 +1,65 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{ErQueries, Queries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2 inventory) to executable
+  * DataFrame builders over the driver's parquet tables at `dir`; every
+  * SQL-expressible query has a DuckDB oracle in `oracleSql` with matching
+  * column names/aliases. ER-pipeline queries (synthetic in-engine pages
+  * table) have no SQL oracle → rows-only checks + ScalaTest semantics.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: end-to-end ER pairwise evaluation over the
+    * synthetic web-pages corpus (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ErQueries.erPairwiseEval(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational / aggregation operators (oracle-checked)
+    "q1_agg_pricing" -> (Queries.q1AggPricing(_, _)),
+    "q2_region_revenue" -> (Queries.q2RegionRevenue(_, _)),
+    "q3_top_customers" -> (Queries.q3TopCustomers(_, _)),
+    "q4_orders_with_items" -> (Queries.q4OrdersWithItems(_, _)),
+    "q5_customers_no_orders" -> (Queries.q5CustomersNoOrders(_, _)),
+    "q6_distinct_parts" -> (Queries.q6DistinctParts(_, _)),
+    "q7_first_event" -> (Queries.q7FirstEvent(_, _)),
+    "q8_unigrams" -> (Queries.q8Unigrams(_, _)),
+    "q9_doc_token_stats" -> (Queries.q9DocTokenStats(_, _)),
+    "q10_exact_dup_docs" -> (Queries.q10ExactDupDocs(_, _)),
+    "q11_quality_counters" -> (Queries.q11QualityCounters(_, _)),
+    "q12_lang_dist" -> (Queries.q12LangDist(_, _)),
+    "q13_sessions" -> (Queries.q13Sessions(_, _)),
+    "q14_orders_daily" -> (Queries.q14OrdersDaily(_, _)),
+    "q15_jaccard_pairs" -> (Queries.q15JaccardPairs(_, _)),
+    // ER pipeline over the synthetic pages table (rows-only checks)
+    "er_extract" -> (ErQueries.erExtract(_, _)),
+    "er_mentions" -> (ErQueries.erMentions(_, _)),
+    "er_block_profile" -> (ErQueries.erBlockProfile(_, _)),
+    "er_scored_pairs" -> (ErQueries.erScoredPairs(_, _)),
+    "er_clusters" -> (ErQueries.erClusters(_, _)),
+    "er_pairwise_eval" -> (ErQueries.erPairwiseEval(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg_pricing" -> Queries.q1Sql,
+    "q2_region_revenue" -> Queries.q2Sql,
+    "q3_top_customers" -> Queries.q3Sql,
+    "q4_orders_with_items" -> Queries.q4Sql,
+    "q5_customers_no_orders" -> Queries.q5Sql,
+    "q6_distinct_parts" -> Queries.q6Sql,
+    "q7_first_event" -> Queries.q7Sql,
+    "q8_unigrams" -> Queries.q8Sql,
+    "q9_doc_token_stats" -> Queries.q9Sql,
+    "q10_exact_dup_docs" -> Queries.q10Sql,
+    "q11_quality_counters" -> Queries.q11Sql,
+    "q12_lang_dist" -> Queries.q12Sql,
+    "q13_sessions" -> Queries.q13Sql,
+    "q14_orders_daily" -> Queries.q14Sql,
+    "q15_jaccard_pairs" -> Queries.q15Sql,
+  )
 }

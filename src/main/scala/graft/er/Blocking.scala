@@ -1,0 +1,142 @@
+package graft.er
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.Mention
+
+/** Candidate blocking (SURVEY.md §2.4 J1/J9, north_star: "normalized-mention
+  * + URL-domain + MinHash-LSH keys materialized as salted, repartitioned
+  * Datasets").
+  *
+  * Each mention emits a small set of blocking keys; candidate pairs are the
+  * within-block id pairs. Skew discipline (§4.3):
+  *   1. block sizes are profiled first (one cheap count aggregation);
+  *   2. blocks larger than `maxBlock` are deterministically sub-bucketed
+  *      (`key#bucket`, bucket = hash(id) mod ceil(size/maxBlock)) — this
+  *      caps the per-block pair count at ~maxBlock²/2 instead of silently
+  *      dropping hot keys, and the dropped cross-bucket pairs are excluded
+  *      from the labeled-pair universe (pairs-completeness tradeoff, logged
+  *      in the stage metrics, never silent);
+  *   3. the pair self-join runs on the sub-bucketed key, so AQE's skew-join
+  *      split sees bounded partitions.
+  */
+object Blocking {
+
+  final case class Config(
+      useSurfaceKey: Boolean = true,
+      usePrefixKey: Boolean = true,
+      useDomainKey: Boolean = false, // off by default: domain blocks are huge; enable with a tight cap
+      useMinhashKey: Boolean = true,
+      minhashHashes: Int = 8,
+      minhashBandRows: Int = 2,
+      maxBlock: Int = 512)
+
+  /** Prefix key: first 4 chars of the first token + first 2 of the second —
+    * invariant under the tail-of-word typo class that pair scoring is meant
+    * to recover (edit distance 1-2 past position 2). */
+  def prefixKey(norm: String): String = {
+    val sp = norm.indexOf(' ')
+    if (sp < 0) "p:" + norm.take(4)
+    else "p:" + norm.take(math.min(4, sp)) + ":" + norm.substring(sp + 1).take(2)
+  }
+
+  /** Deterministic minhash over a token set. Hash family h_i(x) =
+    * splitmix64(seed_i ^ token64); tokens hashed once, min per function. */
+  def minhashSig(tokens: Seq[String], nHashes: Int): Array[Long] = {
+    val sig = Array.fill(nHashes)(Long.MaxValue)
+    tokens.foreach { t =>
+      var th = 0x7A3C9B1DL
+      var i = 0
+      while (i < t.length) { th = graft.synth.Synth.splitmix64(th ^ t.charAt(i).toLong); i += 1 }
+      var k = 0
+      while (k < nHashes) {
+        val h = graft.synth.Synth.splitmix64(th ^ (0xABCDEF01L * (k + 1)))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+    }
+    sig
+  }
+
+  def bandKeys(tokens: Seq[String], nHashes: Int, bandRows: Int): Seq[String] = {
+    if (tokens.isEmpty) return Nil
+    val sig = minhashSig(tokens, nHashes)
+    sig.grouped(bandRows).zipWithIndex.map { case (band, b) =>
+      val h = band.foldLeft(0x13579BDFL)((a, v) => graft.synth.Synth.splitmix64(a ^ v))
+      "m" + b + ":" + java.lang.Long.toHexString(h)
+    }.toSeq
+  }
+
+  def keysFor(m: Mention, cfg: Config): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (cfg.useSurfaceKey && m.norm_surface.nonEmpty) b += ("s:" + m.norm_surface)
+    if (cfg.usePrefixKey && m.norm_surface.nonEmpty) b += prefixKey(m.norm_surface)
+    if (cfg.useDomainKey) b += ("d:" + m.domain)
+    if (cfg.useMinhashKey) b ++= bandKeys(m.context, cfg.minhashHashes, cfg.minhashBandRows)
+    b.result().distinct
+  }
+
+  /** (key, id) exploded table — the blocking relation. */
+  def keyed(mentions: Dataset[Mention], cfg: Config): DataFrame = {
+    import mentions.sparkSession.implicits._
+    mentions.flatMap(m => keysFor(m, cfg).map(k => (k, m.mention_id))).toDF("key", "id")
+  }
+
+  /** Candidate pairs (a < b), deduplicated across keys. Oversized blocks are
+    * sub-bucketed deterministically before the self-join. */
+  def candidatePairs(mentions: Dataset[Mention], cfg: Config = Config()): DataFrame = {
+    val k = keyed(mentions, cfg)
+    val sizes = k.groupBy("key").agg(count("*").as("block_size"))
+    // bucket = hash(id) mod ceil(size / maxBlock); key#bucket for hot blocks
+    val withBucket = k
+      .join(sizes, Seq("key"))
+      .withColumn("nb", ceil(col("block_size") / lit(cfg.maxBlock)).cast("int"))
+      .withColumn(
+        "bkey",
+        when(col("nb") <= 1, col("key"))
+          .otherwise(concat(col("key"), lit("#"), pmod(xxhash64(col("id")), col("nb")))))
+      .select(col("bkey"), col("id"))
+    val a = withBucket.select(col("bkey"), col("id").as("a"))
+    val b = withBucket.select(col("bkey"), col("id").as("b"))
+    a.join(b, Seq("bkey"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** (bkey, id, norm_surface, context, gold_entity) — the blocking relation
+    * carrying scoring attributes, oversized blocks sub-bucketed. This is
+    * the input of the fused scoring path (Scoring.scoreFused): one shuffle
+    * co-partitions mentions by block key; everything downstream is
+    * map-side. The block-size side table is tiny (one row per key) and
+    * broadcast by AQE, so bucketing adds no extra shuffle of the fact
+    * table. */
+  def keyedWithAttrs(mentions: Dataset[Mention], cfg: Config): DataFrame = {
+    import mentions.sparkSession.implicits._
+    val k = mentions.flatMap { m =>
+      keysFor(m, cfg).map(key => (key, m.mention_id, m.norm_surface, m.context, m.gold_entity))
+    }.toDF("key", "id", "ns", "ctx", "gold")
+    val sizes = k.groupBy("key").agg(count("*").as("block_size"))
+    k.join(broadcast(sizes), Seq("key"))
+      .withColumn("nb", ceil(col("block_size") / lit(cfg.maxBlock)).cast("int"))
+      .withColumn(
+        "bkey",
+        when(col("nb") <= 1, col("key"))
+          .otherwise(concat(col("key"), lit("#"), pmod(xxhash64(col("id")), col("nb")))))
+      .select(col("bkey"), col("id"), col("ns"), col("ctx"), col("gold"))
+  }
+
+  /** Block-size profile — the metrics surface for the skew invariant
+    * (max block size after bucketing must be <= maxBlock). */
+  def blockProfile(mentions: Dataset[Mention], cfg: Config = Config()): DataFrame = {
+    keyed(mentions, cfg)
+      .groupBy("key")
+      .agg(count("*").as("block_size"))
+      .agg(
+        count("*").as("n_blocks"),
+        max("block_size").as("max_block"),
+        expr("percentile_approx(block_size, 0.99)").as("p99_block"),
+        sum(expr("block_size * (block_size - 1) / 2")).as("naive_pairs"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.er
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Dataset
+
+import graft.model.{Mention, Page}
+import graft.text.Extract
+
+/** Pages → mention rows (the exploded form of the reference's per-article
+  * `entity_mentions` dict, SURVEY.md §1.3).
+  *
+  * One narrow `flatMap` — no shuffle: extraction, hyperlink explosion and
+  * context-window tokenization are all per-row. The mention's context is
+  * the token set of its own paragraph (text between "\n\n" separators)
+  * minus the tokens of the mention surface itself; gold entity comes from
+  * the hyperlink target (reference precedent: hyperlinks as weak labels,
+  * /root/reference/scripts/get_link_frequencies.py:13-47).
+  */
+object Mentions {
+
+  def domainOf(url: String): String = {
+    val noScheme = {
+      val i = url.indexOf("://")
+      if (i >= 0) url.substring(i + 3) else url
+    }
+    val slash = noScheme.indexOf('/')
+    if (slash >= 0) noScheme.substring(0, slash) else noScheme
+  }
+
+  /** Deterministic 64-bit mention id from (url, begin) — stable under any
+    * partitioning, unlike monotonically_increasing_id. */
+  def mentionId(url: String, begin: Int): Long = {
+    var h = graft.synth.Synth.splitmix64(begin.toLong + 0x9E37L)
+    var i = 0
+    while (i < url.length) { h = graft.synth.Synth.splitmix64(h ^ url.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  def fromPages(pages: Dataset[Page]): Dataset[Mention] = {
+    import pages.sparkSession.implicits._
+    pages.flatMap { page =>
+      val ex = Extract.processExtractorText(new String(page.html, StandardCharsets.UTF_8))
+      val text = ex.text
+      val domain = domainOf(page.url)
+      // paragraph boundaries: [start, end) between "\n\n" separators
+      val paraBounds = {
+        val b = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        var start = 0
+        var idx = text.indexOf("\n\n")
+        while (idx >= 0) { b += ((start, idx)); start = idx + 2; idx = text.indexOf("\n\n", start) }
+        b += ((start, text.length))
+        b.toArray
+      }
+      def paragraphOf(pos: Int): (Int, Int) =
+        paraBounds.find { case (s, e) => pos >= s && pos < e }.getOrElse((0, text.length))
+
+      ex.hyperlinks.zipWithIndex.map { case (h, _) =>
+        val surface = text.substring(h.begin, h.end)
+        val (ps, pe) = paragraphOf(h.begin)
+        val para = text.substring(ps, pe)
+        // tokens of the paragraph excluding the mention's own surface span
+        val before = text.substring(ps, h.begin)
+        val after = text.substring(h.end, pe)
+        val _ = para // (para kept for clarity of intent)
+        val ctx = (Extract.tokenize(before) ++ Extract.tokenize(after))
+          .map(_.toLowerCase).distinct.sorted
+        Mention(
+          url = page.url,
+          mention_id = mentionId(page.url, h.begin),
+          begin = h.begin,
+          end = h.end,
+          surface = surface,
+          norm_surface = Extract.normalizeSurface(surface),
+          context = ctx,
+          domain = domain,
+          gold_entity = h.target)
+      }
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.er.{Blocking, Clustering, Mentions, PairEval, Scoring}
+import graft.model.{Mention, Page}
+import graft.synth.Synth
+
+/** Entity-resolution pipeline queries over the synthetic Common-Crawl-style
+  * pages table (BASELINE.json north_rule). No DuckDB oracle exists for
+  * these (the pages are generated in-engine), so the driver records
+  * rows-only checks; semantic correctness is enforced by the ScalaTest
+  * suite (pairwise F1 >= 0.99, CC vs union-find, determinism under
+  * repartitioning).
+  */
+object ErQueries {
+
+  /** sfDir → deterministic corpus size (scales with the driver's sf). */
+  def pageCountFor(dir: String): Long = {
+    val name = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("")
+    name match {
+      case s if s.contains("0.001") => 400L
+      case s if s.contains("0.01") => 2000L
+      case s if s.contains("0.1") => 10000L
+      case _ => 400L
+    }
+  }
+
+  def pages(spark: SparkSession, dir: String): Dataset[Page] =
+    Synth.pages(spark, pageCountFor(dir), seed = 42L, nDomains = 50)
+
+  def mentions(spark: SparkSession, dir: String): Dataset[Mention] =
+    Mentions.fromPages(pages(spark, dir))
+
+  /** Extraction stage output (hyperlink/section/synonym counts per url) —
+    * the E1 operator surfaced as a query. */
+  def erExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir).map { p =>
+      val ex = graft.text.Extract.processExtractorText(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+      (p.url, ex.text.length.toLong, ex.hyperlinks.size.toLong,
+        ex.titleSynonyms.size.toLong, ex.sections.size.toLong)
+    }.toDF("url", "text_len", "n_hyperlinks", "n_title_synonyms", "n_sections")
+  }
+
+  def erMentions(spark: SparkSession, dir: String): DataFrame =
+    mentions(spark, dir)
+      .toDF()
+      .select("url", "mention_id", "begin", "end", "surface", "norm_surface", "gold_entity")
+
+  def erBlockProfile(spark: SparkSession, dir: String): DataFrame =
+    Blocking.blockProfile(mentions(spark, dir))
+
+  def erScoredPairs(spark: SparkSession, dir: String): DataFrame = {
+    val m = mentions(spark, dir)
+    Scoring.scoreFused(Blocking.keyedWithAttrs(m, Blocking.Config()))
+      .dropDuplicates("a", "b")
+  }
+
+  def erClusters(spark: SparkSession, dir: String): DataFrame = {
+    val m = mentions(spark, dir).cache()
+    val scored = Scoring.scoreFused(Blocking.keyedWithAttrs(m, Blocking.Config()))
+    val edges = scored.where(col("is_match")).select(col("a"), col("b")).distinct()
+    Clustering.assign(spark, m.select(col("mention_id").as("id")), edges)
+  }
+
+  /** One-row pairwise eval — the headline metric (F1 vs gold clusters). */
+  def erPairwiseEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = mentions(spark, dir).cache()
+    val (_, _, ev) = PairEval.runPipeline(spark, m)
+    m.unpersist()
+    Seq((ev.tp, ev.fp, ev.fn, ev.precision, ev.recall, ev.f1))
+      .toDF("tp", "fp", "fn", "precision", "recall", "f1")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.er.Clustering
+
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+
+  /** brute-force union-find oracle */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b); union(a, b) }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def runCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    Clustering.connectedComponents(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("CC matches union-find on a hand case (chain + triangle + singleton edge)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    assert(runCC(edges) == ufComponents(edges))
+  }
+
+  test("CC cluster id is the component minimum") {
+    val edges = Seq((5L, 9L), (9L, 3L), (100L, 50L))
+    val got = runCC(edges)
+    assert(got(5L) == 3L && got(9L) == 3L && got(3L) == 3L)
+    assert(got(100L) == 50L && got(50L) == 50L)
+  }
+
+  test("property: CC equals union-find on random graphs (seeded)") {
+    val rng = new scala.util.Random(42)
+    (0 until 8).foreach { round =>
+      val n = 2 + rng.nextInt(40)
+      val m = 1 + rng.nextInt(80)
+      val edges = (0 until m).flatMap { _ =>
+        val a = rng.nextLong(n.toLong + 1)
+        val b = rng.nextLong(n.toLong + 1)
+        if (a != b) Some((a, b)) else None
+      }
+      if (edges.nonEmpty)
+        assert(runCC(edges) == ufComponents(edges), s"round $round failed: $edges")
+    }
+  }
+
+  test("CC is deterministic under different input partitioning") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (i, (i + 7) % 200)) ++ Seq((500L, 600L))
+    val r1 = Clustering.connectedComponents(spark, edges.toDF("a", "b").repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = Clustering.connectedComponents(spark, edges.toDF("a", "b").repartition(13))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(r1 == r2)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ErQueries, Queries}
+import graft.queries.{ErQueries, Queries, TrainingDataQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,18 @@ object SparkEntry {
     "er_scored_pairs" -> (ErQueries.erScoredPairs(_, _)),
     "er_clusters" -> (ErQueries.erClusters(_, _)),
     "er_pairwise_eval" -> (ErQueries.erPairwiseEval(_, _)),
+    // training-data pipeline operators (rows-only checks; semantics in specs)
+    "dd_minhash_pairs" -> (TrainingDataQueries.ddMinhashPairs(_, _)),
+    "dd_simhash_pairs" -> (TrainingDataQueries.ddSimhashPairs(_, _)),
+    "dd_embedding_dups" -> (TrainingDataQueries.ddEmbeddingDups(_, _)),
+    "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
+    "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
+    "ta_langid" -> (TrainingDataQueries.taLangid(_, _)),
+    "ta_quality" -> (TrainingDataQueries.taQuality(_, _)),
+    "ta_token_counts" -> (TrainingDataQueries.taTokenCounts(_, _)),
+    "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
+    "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
+    "mm_frame_sample" -> (TrainingDataQueries.mmFrameSample(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(

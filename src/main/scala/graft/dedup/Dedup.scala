@@ -1,0 +1,224 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.synth.Synth.splitmix64
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All tiers follow the same scale discipline as the ER pipeline: a cheap
+  * per-row signature (map-side, no shuffle), one co-partitioning shuffle on
+  * the signature bucket, then verification inside the bucket. No stage ever
+  * shuffles the full pair space.
+  *
+  *   - exact:    content-hash groupBy (keep-min survivor)
+  *   - MinHash:  char-shingle minhash signatures, banded LSH buckets,
+  *               verified token-Jaccard inside the bucket
+  *   - SimHash:  64-bit simhash, Hamming<=k via band-exact-match buckets
+  *   - embedding: random-hyperplane LSH buckets, verified cosine
+  */
+object Dedup {
+
+  // ---------- exact ----------------------------------------------------------
+
+  /** Exact dedup decision table: one row per distinct content hash with the
+    * canonical survivor (minimum id) and the duplicate count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keep_id"))
+
+  // ---------- minhash --------------------------------------------------------
+
+  def charShingles(text: String, k: Int): Set[Long] = {
+    if (text.length < k) return Set(hashString(text))
+    val out = scala.collection.mutable.HashSet[Long]()
+    var i = 0
+    while (i + k <= text.length) {
+      var h = 0x6C62272E07BB0142L
+      var j = i
+      while (j < i + k) { h = splitmix64(h ^ text.charAt(j).toLong); j += 1 }
+      out += h
+      i += 1
+    }
+    out.toSet
+  }
+
+  def hashString(s: String): Long = {
+    var h = 0x6C62272E07BB0142L
+    var i = 0
+    while (i < s.length) { h = splitmix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  /** nHashes minhash values of a shingle set (deterministic hash family). */
+  def minhash(shingles: Iterable[Long], nHashes: Int): Array[Long] = {
+    val sig = Array.fill(nHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      var k = 0
+      while (k < nHashes) {
+        val h = splitmix64(sh ^ (0x9E3779B97F4A7C15L * (k + 3)))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+    }
+    sig
+  }
+
+  /** MinHash LSH near-duplicate candidate pairs with verified estimated
+    * Jaccard: bands of `rowsPerBand` signature values bucket the corpus;
+    * within-bucket pairs are verified by full-signature agreement ratio
+    * (an unbiased Jaccard estimate). Output: (id_a, id_b, est_jaccard). */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      nHashes: Int = 64,
+      rowsPerBand: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBands = nHashes / rowsPerBand
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, minhash(charShingles(t, shingleK), nHashes)) }
+      .toDF("id", "sig")
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"concat(cast(b as string), ':', cast(xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) as string)))"))
+        .as("bucket"))
+    val l = banded.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn(
+        "est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($nHashes as double)"))
+      .where(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ---------- simhash --------------------------------------------------------
+
+  /** 64-bit SimHash over a token multiset. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hashString(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Near-duplicate pairs with Hamming distance <= maxHamming, found by the
+    * pigeonhole band trick: split 64 bits into (maxHamming + 1) bands — any
+    * pair within the radius agrees exactly on at least one band. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t.split(' ').toSeq)) }
+      .toDF("id", "sim")
+    val banded = sigs.select(
+      col("id"), col("sim"),
+      explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"concat(cast(b as string), ':', cast((sim div shiftleft(1L, b * $width)) % shiftleft(1L, $width) as string)))"))
+        .as("bucket"))
+    val l = banded.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = banded.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ---------- embedding cosine ------------------------------------------------
+
+  /** Cosine similarity of two float vectors as a codegen'd column expr. */
+  def cosineCol(a: Column, b: Column): Column =
+    expr_cos(a, b)
+
+  private def expr_cos(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (s, v) => s + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (s, v) => s + v * v))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Embedding near-duplicate pairs (cosine >= minCosine) via
+    * random-hyperplane LSH: `nBits`-bit sign signature, bucketed by
+    * `bandBits`-bit bands (pairs at angle θ collide on a band with
+    * probability (1 - θ/π)^bandBits per band). Verified cosine inside the
+    * bucket. */
+  def embeddingDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.9,
+      nBits: Int = 16,
+      bandBits: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    // deterministic pseudo-gaussian hyperplanes (sum of 4 uniforms - 2)
+    val planes = Array.tabulate(nBits, dim) { (b, d) =>
+      (0 until 4).map(k =>
+        (splitmix64(seed ^ (b * 1009L + d * 31L + k)) >>> 11).toDouble / (1L << 53)).sum - 2.0
+    }
+    val planesB = spark.sparkContext.broadcast(planes)
+    val signed = base.as[(Long, Seq[Double])].map { case (id, v) =>
+      val p = planesB.value
+      var sig = 0L
+      var b = 0
+      while (b < p.length) {
+        var dot = 0.0
+        var d = 0
+        while (d < v.length && d < p(b).length) { dot += v(d) * p(b)(d); d += 1 }
+        if (dot > 0) sig |= (1L << b)
+        b += 1
+      }
+      (id, v, sig)
+    }.toDF("id", "v", "sig")
+    val nBands = nBits / bandBits
+    val banded = signed.select(
+      col("id"), col("v"),
+      explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"concat(cast(b as string), ':', cast((sig div shiftleft(1L, b * $bandBits)) % shiftleft(1L, $bandBits) as string)))"))
+        .as("bucket"))
+    val l = banded.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = banded.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", expr_cos(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

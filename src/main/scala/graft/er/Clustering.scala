@@ -28,6 +28,26 @@ object Clustering {
       .distinct()
       .localCheckpoint(true)
 
+    // Right-size the loop's shuffle width to the graph: the star-contraction
+    // rounds run O(log n) small jobs, and a width tuned for the scoring
+    // stage (thousands of partitions) would turn each round into a storm of
+    // empty micro-tasks. ~100k edges per partition, capped at the session
+    // parallelism.
+    val nEdges = e.count()
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L + 1)).toInt
+    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      connectedComponentsLoop(e, maxIter)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+    }
+  }
+
+  private def connectedComponentsLoop(edges0: DataFrame, maxIter: Int): DataFrame = {
+    var e = edges0
+
     var converged = false
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)

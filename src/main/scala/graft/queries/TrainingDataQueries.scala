@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Ann
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operators surfaced as driver queries (dedup
+  * tiers, similarity search, text analysis, multimodal plumbing). These
+  * have no SQL-expressible DuckDB oracle (custom hashes / UDF pipelines) →
+  * rows-only driver checks; semantics are verified in DedupAnnSpec /
+  * TextMultimodalPipelineSpec (planted-duplicate recall, brute-force
+  * agreement, codec round-trips). */
+object TrainingDataQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** MinHash-LSH near-dup candidates. The synthetic documents share a
+    * 31-word vocabulary, so a moderate threshold yields a non-trivial
+    * pair set. */
+  def ddMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
+      shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35)
+
+  def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8)
+
+  def ddEmbeddingDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(embs(spark, dir), "vec_id", "embedding",
+      minCosine = 0.25, nBits = 8, bandBits = 2)
+
+  def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.bruteForceTopK(e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      .drop("cosine") // rank list only: float formatting stays out of outputs
+  }
+
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.lshTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+      nBits = 16, bandBits = 4).drop("cosine")
+  }
+
+  def taLangid(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langIdUdf(col("text")).as("predicted_lang"))
+
+  def taQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQuality(docs(spark, dir), "text")
+      .select("doc_id", "n_tokens", "quality")
+
+  def taTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+
+  def taFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))
+
+  private def mediaCountFor(dir: String): Long =
+    ErQueries.pageCountFor(dir) / 2
+
+  def mmMediaStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaStats(
+      Multimodal.decodeAndFeatures(Multimodal.syntheticMedia(spark, mediaCountFor(dir))))
+
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, mediaCountFor(dir)), stride = 2)
+      .drop("frame")
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"), max(col("frame_bytes")).as("frame_bytes"))
+}

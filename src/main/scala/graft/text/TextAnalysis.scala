@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * map-side column pipelines (no shuffle) built from codegen'd built-ins
+  * plus two scalar UDFs (language profile score, rolling-hash
+  * fingerprint).
+  */
+object TextAnalysis {
+
+  // ---------- language identification ----------------------------------------
+
+  /** Tiny per-language stopword profiles (top function words). The n-gram
+    * heuristic: score(lang) = hits of that language's function words in
+    * the token stream + script bonus (CJK char ratio for zh); argmax with
+    * deterministic alphabetical tie-break, "und" (undetermined) when no
+    * profile scores. The driver's synthetic `documents.lang` column is
+    * random noise w.r.t. its text, so accuracy there is meaningless; the
+    * spec tests real multilingual snippets. */
+  val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "of", "and", "to", "in", "is", "was", "that", "for", "with", "as", "his", "her"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "nicht", "auf", "für", "im"),
+    "es" -> Set("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans", "que", "pour", "qui"))
+
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var total = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        total += 1
+        val b = Character.UnicodeBlock.of(c)
+        if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+            b == Character.UnicodeBlock.HIRAGANA || b == Character.UnicodeBlock.KATAKANA) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk.toDouble / total > 0.25) return "zh"
+    val toks = Extract.tokenize(text).map(_.toLowerCase)
+    if (toks.isEmpty) return "und"
+    val scores = Profiles.map { case (lang, words) =>
+      lang -> toks.count(words.contains)
+    }
+    val best = scores.toSeq.sortBy { case (l, s) => (-s, l) }.head
+    if (best._2 == 0) "und" else best._1
+  }
+
+  val langIdUdf = udf((t: String) => detectLanguage(t))
+
+  // ---------- quality scoring -------------------------------------------------
+
+  /** Quality counters + composite score as pure column exprs (codegen'd):
+    * word count, mean word length, stopword ratio, non-alnum ratio, digit
+    * ratio, max single-token share (repetition signal). The composite is a
+    * clipped linear blend — the standard cheap pre-filter tier of a
+    * training-data pipeline. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, "\\s+")
+    val nTok = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    val stop = lit(Profiles("en").toSeq.toArray)
+    val nStop = size(filter(toks, t => array_contains(stop, lower(t)))).cast("double")
+    val nAlnum = length(regexp_replace(text, "[^\\p{L}\\p{N}]", "")).cast("double")
+    val nDigit = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val topTokShare = {
+      val counts = transform(array_distinct(toks), d =>
+        size(filter(toks, t => t === d)))
+      when(nTok === 0, lit(0.0))
+        .otherwise(array_max(counts).cast("double") / nTok)
+    }
+    val meanWordLen = when(nTok === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0.0d), (s, t) => s + length(t).cast("double")) / nTok)
+    val stopRatio = when(nTok === 0, lit(0.0)).otherwise(nStop / nTok)
+    val alnumRatio = when(nChars === 0, lit(0.0)).otherwise(nAlnum / nChars)
+    val digitRatio = when(nChars === 0, lit(0.0)).otherwise(nDigit / nChars)
+    val composite =
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.35) * alnumRatio +
+          lit(0.25) * least(stopRatio * 4, lit(1.0)) +
+          lit(0.2) * when(meanWordLen.between(3.0, 9.0), 1.0).otherwise(0.3) +
+          lit(0.2) * (lit(1.0) - topTokShare) -
+          lit(0.3) * digitRatio))
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "mean_word_len" -> meanWordLen,
+      "stop_ratio" -> stopRatio,
+      "alnum_ratio" -> alnumRatio,
+      "digit_ratio" -> digitRatio,
+      "top_token_share" -> topTokShare,
+      "quality" -> composite)
+  }
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  // ---------- token counting ---------------------------------------------------
+
+  /** Whitespace token count (codegen'd). */
+  def whitespaceTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish subword count estimate: maximal alnum runs count
+    * ceil(len/4) pieces (roughly GPT-style 4-chars-per-token), every other
+    * non-space char is one token. Deterministic, pure regex+arith. */
+  def bpeishTokenCount(text: Column): Column = {
+    val words = filter(split(text, "[^\\p{L}\\p{N}]+"), w => w =!= "")
+    val wordPieces = aggregate(words, lit(0L), (s, w) => s + ceil(length(w) / lit(4.0)).cast("long"))
+    val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("long")
+    wordPieces + punct
+  }
+
+  // ---------- fingerprinting ----------------------------------------------------
+
+  /** 64-bit rolling polynomial fingerprint of the normalized text
+    * (lowercase, collapsed whitespace) — the cheap dedup/lineage id tier. */
+  def fingerprint64(text: String): Long = {
+    if (text == null) return 0L
+    var h = 0xCBF29CE484222325L
+    var lastSpace = true
+    var i = 0
+    while (i < text.length) {
+      val c0 = text.charAt(i)
+      val c = if (Character.isWhitespace(c0)) ' ' else Character.toLowerCase(c0)
+      val skip = c == ' ' && lastSpace
+      if (!skip) {
+        h = (h ^ c.toLong) * 0x100000001B3L
+        lastSpace = c == ' '
+      }
+      i += 1
+    }
+    h
+  }
+
+  val fingerprintUdf = udf((t: String) => fingerprint64(t))
+}

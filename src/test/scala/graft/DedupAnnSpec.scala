@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sim.Ann
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  // deterministic doc corpus with planted near-dups
+  private def docs(n: Int) = {
+    val rng = new scala.util.Random(11)
+    val base = (0 until n).map { i =>
+      val words = (0 until 40).map(_ => "w" + rng.nextInt(500))
+      (i.toLong, words.mkString(" "))
+    }
+    // plant near-duplicates: id+1000 = same text with one word changed
+    val nearDups = base.take(n / 4).map { case (id, t) =>
+      (id + 1000L, t.split(' ').updated(3, "CHANGED").mkString(" "))
+    }
+    // plant exact duplicates: id+2000 = identical
+    val exact = base.take(n / 8).map { case (id, t) => (id + 2000L, t) }
+    (base ++ nearDups ++ exact).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups find planted exact duplicates, keep-min survivor") {
+    val d = docs(80)
+    val g = Dedup.exactGroups(d, "doc_id", "text")
+    val dups = g.where(col("dup_count") > 1).collect()
+    assert(dups.length == 10) // n/8 planted
+    assert(dups.forall(_.getLong(2) < 1000L), "survivor must be the minimum id")
+  }
+
+  test("minhash LSH finds planted near-duplicates with high estimated jaccard") {
+    val d = docs(80)
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text", shingleK = 5, nHashes = 64,
+      rowsPerBand = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted near-dup pair (i, i+1000) must be found
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)), s"missing near-dup pair $i")
+    }
+    // exact dups too (jaccard 1.0)
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 2000L)), s"missing exact pair $i")
+    }
+  }
+
+  test("minhash estimated jaccard approximates true shingle jaccard") {
+    val t1 = "the quick brown fox jumps over the lazy dog and runs away fast today"
+    val t2 = "the quick brown fox jumps over the lazy cat and runs away fast today"
+    val s1 = Dedup.charShingles(t1, 5)
+    val s2 = Dedup.charShingles(t2, 5)
+    val trueJ = s1.intersect(s2).size.toDouble / s1.union(s2).size
+    val m1 = Dedup.minhash(s1, 256)
+    val m2 = Dedup.minhash(s2, 256)
+    val estJ = m1.zip(m2).count { case (a, b) => a == b }.toDouble / 256
+    assert(math.abs(trueJ - estJ) < 0.12, s"true=$trueJ est=$estJ")
+  }
+
+  test("simhash pairs find near-duplicates within hamming radius") {
+    val d = docs(80)
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact duplicates have hamming 0 — must all be present
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 2000L)), s"missing exact pair $i at hamming 0")
+    }
+    // one-word-changed docs have small hamming; most should be caught
+    val caught = (0 until 20).count(i => pairs.contains((i.toLong, i + 1000L)))
+    assert(caught >= 15, s"simhash caught only $caught/20 near-dups")
+  }
+
+  test("simhash is deterministic and order-insensitive in hamming check") {
+    val h1 = Dedup.simhash64(Seq("a", "b", "c", "a"))
+    val h2 = Dedup.simhash64(Seq("a", "b", "c", "a"))
+    assert(h1 == h2)
+    assert(java.lang.Long.bitCount(h1 ^ Dedup.simhash64(Seq("a", "b", "c"))) <= 20)
+  }
+
+  test("embedding dup pairs: planted near-identical vectors found, verified by cosine") {
+    val rng = new scala.util.Random(3)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    val dups = base.take(15).map { case (id, v) =>
+      (id + 100L, v.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingDupPairs(df, "vec_id", "embedding", minCosine = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = (0 until 15).count(i => found.contains((i.toLong, i + 100L)))
+    assert(caught >= 13, s"embedding LSH caught only $caught/15 planted dups")
+    // precision: verify step guarantees cosine >= threshold for all pairs
+    val all = Dedup.embeddingDupPairs(df, "vec_id", "embedding", minCosine = 0.98)
+      .collect()
+    assert(all.forall(_.getDouble(2) >= 0.98))
+  }
+
+  test("ANN brute-force top-k matches in-JVM exact computation") {
+    val rng = new scala.util.Random(5)
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian()))).toArray
+    val df = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }.toSeq.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 5)
+    val got = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (0 until 5).flatMap { q =>
+      val qv = vecs(q)._2.map(_.toFloat.toDouble)
+      vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v.map(_.toFloat.toDouble))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, _), r) => (q.toLong, r + 1, id) }
+    }.sorted
+    assert(got.toSeq == want)
+  }
+
+  test("ANN LSH top-k achieves reasonable recall vs brute force") {
+    val rng = new scala.util.Random(9)
+    val df = (0 until 300).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.lshTopK(spark, df, queries, "vec_id", "embedding", k = 5,
+      nBits = 16, bandBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"ANN LSH recall@5 = $recall%.2f (candidates pruned vs full scan)")
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.pipeline.Pipeline
+import graft.text.TextAnalysis
+
+class TextMultimodalPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("language ID on real multilingual snippets") {
+    assert(TextAnalysis.detectLanguage("the cat sat on the mat and it was happy") == "en")
+    assert(TextAnalysis.detectLanguage("der Hund ist nicht mit der Katze im Haus") == "de")
+    assert(TextAnalysis.detectLanguage("el perro y el gato es que en la casa") == "es")
+    assert(TextAnalysis.detectLanguage("le chien est dans la maison et les chats") == "fr")
+    assert(TextAnalysis.detectLanguage("你好世界这是一个测试文档内容") == "zh")
+    assert(TextAnalysis.detectLanguage("xyzzy plugh qwerty") == "und")
+    assert(TextAnalysis.detectLanguage("") == "und")
+  }
+
+  test("quality scoring columns behave directionally") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and keeps running for a while."),
+      (2L, "buy buy buy buy buy buy buy buy buy buy buy buy"),
+      (3L, "3482 9931 11 2 44444 9 3 1 22"),
+      (4L, "")).toDF("doc_id", "text")
+    val q = TextAnalysis.withQuality(df, "text")
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(2L), s"prose should beat repetition: ${q(1L)} vs ${q(2L)}")
+    assert(q(1L) > q(3L), s"prose should beat digits: ${q(1L)} vs ${q(3L)}")
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("token counting: whitespace and BPE-ish") {
+    val df = Seq((1L, "hello world, this is fine")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe")).head()
+    assert(r.getLong(0) == 5L)
+    // hello(2)+world(2)+this(1)+is(1)+fine(1) pieces + 1 comma = 8
+    assert(r.getLong(1) == 8L)
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val a = TextAnalysis.fingerprint64("Hello   World")
+    val b = TextAnalysis.fingerprint64("hello world")
+    val c = TextAnalysis.fingerprint64("hello word")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("multimodal: decode stub round-trips the synthetic container, batch-shaped") {
+    val media = Multimodal.syntheticMedia(spark, 200)
+    val decoded = Multimodal.decodeAndFeatures(media).cache()
+    assert(decoded.count() == 200)
+    assert(decoded.filter(_.ok).count() == 200)
+    val kinds = decoded.toDF().groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    // malformed blob survives as ok=false, job does not fail
+    val bad = Seq(Multimodal.MediaRow(999L, "image", Array[Byte](1, 2, 3))).toDS()
+    val badDec = Multimodal.decodeAndFeatures(bad).collect()
+    assert(badDec.length == 1 && !badDec.head.ok)
+  }
+
+  test("multimodal: frame sampling explodes video blobs only") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    val perVideo = frames.groupBy("media_id").count()
+    assert(frames.count() > 0)
+    assert(frames.select("frame_idx").distinct().collect().forall(_.getInt(0) % 2 == 0))
+    val videoIds = Multimodal.decodeAndFeatures(media).filter(_.kind == "video")
+      .map(_.media_id).collect().toSet
+    assert(perVideo.collect().forall(r => videoIds.contains(r.getLong(0))))
+  }
+
+  test("pipeline: stages snapshot, resume skips completed work, manifests carry lineage") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    var computesA = 0
+    var computesB = 0
+    def runAll(): Unit = {
+      val a = Pipeline.stage(spark, root, "stage_a") {
+        computesA += 1
+        spark.range(0, 1000).toDF("id")
+      }
+      Pipeline.stage(spark, root, "stage_b", upstream = Seq("stage_a")) {
+        computesB += 1
+        a.df.withColumn("x", col("id") * 2)
+      }
+      ()
+    }
+    runAll()
+    assert(computesA == 1 && computesB == 1)
+    // resume: nothing recomputes
+    runAll()
+    assert(computesA == 1 && computesB == 1)
+    // kill simulation: delete stage_b's manifest (uncommitted) → only b reruns
+    Files.delete(java.nio.file.Paths.get(Pipeline.manifestPath(root, "stage_b")))
+    runAll()
+    assert(computesA == 1 && computesB == 2)
+    // upstream invalidation: changed stage_a manifest → b recomputes
+    val aPath = java.nio.file.Paths.get(Pipeline.manifestPath(root, "stage_a"))
+    Files.write(aPath, new String(Files.readAllBytes(aPath)).replace("1000", "1001").getBytes)
+    runAll()
+    assert(computesB == 3)
+    // manifest has per-partition lineage
+    val m = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(Pipeline.manifestPath(root, "stage_b"))))
+    assert(m.contains("\"partition_rows\":[") && m.contains("\"upstream\":{\"stage_a\":"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ErQueries, Queries, TrainingDataQueries}
+import graft.queries.{ErQueries, EvalQueries, Queries, TrainingDataQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,12 @@ object SparkEntry {
     "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
     "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
     "mm_frame_sample" -> (TrainingDataQueries.mmFrameSample(_, _)),
+    // KB-build jobs + ELEVANT-semantics evaluation (rows-only checks)
+    "kb_link_freq" -> (EvalQueries.kbLinkFreq(_, _)),
+    "kb_top_candidates" -> (EvalQueries.kbTopCandidates(_, _)),
+    "eval_oracle_counts" -> (EvalQueries.evalOracleCounts(_, _)),
+    "eval_baseline_counts" -> (EvalQueries.evalBaselineCounts(_, _)),
+    "eval_cases" -> (EvalQueries.evalCases(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.er.Mentions
+import graft.eval.CaseModel._
+import graft.eval.{Evaluation, OracleLinker}
+import graft.kb.KbBuild
+import graft.linker.BaselineLinker
+import graft.synth.Synth
+
+/** ELEVANT-evaluation queries over the synthetic pages corpus: benchmark
+  * docs are derived from the gold hyperlinks; predictions come from the
+  * oracle linker (must give F1 = 1.0) and from the baseline
+  * most-popular-candidate linker (the reference's wikipedia strategy).
+  * Rows-only driver checks; exact semantics verified in
+  * EvalSpec/ErrorLabelSpec (reference doctests + truth table). */
+object EvalQueries {
+
+  /** Benchmark docs: every gold hyperlink becomes a root GT label. */
+  def benchmarkDocs(spark: SparkSession, dir: String): Dataset[EvalDoc] = {
+    import spark.implicits._
+    val pages = ErQueries.pages(spark, dir)
+    val docsNoText = Mentions.fromPages(pages)
+      .groupByKey(_.url)
+      .mapGroups { (url, it) =>
+        val ms = it.toSeq.sortBy(m => (m.begin, m.end))
+        val labels = ms.zipWithIndex.map { case (m, i) =>
+          val entNum = m.gold_entity.stripPrefix("E").toIntOption.getOrElse(0)
+          GtLabel(i, m.begin, m.end, m.gold_entity, Synth.canonicalName(entNum),
+            None, Nil, optionalFlag = false, Nil, None, desc = false)
+        }
+        EvalDoc(url, "", 0, Int.MaxValue, labels, Nil,
+          hyperlinks = ms.map(m => graft.model.Span(m.begin, m.end)))
+      }
+    // join the page text back (mentions do not carry the full text)
+    docsNoText
+      .joinWith(pages, docsNoText("url") === pages("url"))
+      .map { case (doc, page) =>
+        doc.copy(text = page.text, evalBegin = 0, evalEnd = page.text.length)
+      }
+  }
+
+  def kbLinkFreq(spark: SparkSession, dir: String): DataFrame =
+    KbBuild.linkFrequencies(ErQueries.pages(spark, dir))
+
+  def kbTopCandidates(spark: SparkSession, dir: String): DataFrame =
+    KbBuild.mostPopularCandidates(kbLinkFreq(spark, dir))
+      .withColumn("candidates", concat_ws(",", col("candidates")))
+
+  /** Oracle identity at corpus scale: one row per (mode, category). The
+    * "all" rows must carry fp = fn = 0. */
+  def evalOracleCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = benchmarkDocs(spark, dir)
+      .map(d => d.copy(predictions = OracleLinker.predictions(d.labels)))
+    Evaluation.counts(Evaluation.cases(docs, EntityMeta.empty), EntityMeta.empty)
+  }
+
+  /** Baseline linker (most-popular candidate, min tie-break) evaluated
+    * with full reference semantics. */
+  def evalBaselineCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = ErQueries.pages(spark, dir)
+    val mentions = Mentions.fromPages(pages).cache()
+    val mp = KbBuild.mostPopularCandidates(KbBuild.linkFrequencies(pages))
+    val linked = BaselineLinker.linkMostPopular(mentions, mp)
+    val predsByUrl: Dataset[(String, Seq[PredSpan])] = linked
+      .select(col("url"), col("begin"), col("end"), col("entity_id"), col("candidates"))
+      .as[(String, Int, Int, String, Seq[String])]
+      .groupByKey(_._1)
+      .mapGroups { (url, it) =>
+        url -> it.map(p => PredSpan(p._2, p._3, p._4, p._5, "Baseline")).toSeq
+      }
+    val bench = benchmarkDocs(spark, dir)
+    val docs = bench
+      .joinWith(predsByUrl, bench("url") === predsByUrl("_1"), "left")
+      .map { case (doc, preds) =>
+        doc.copy(predictions = Option(preds).map(_._2).getOrElse(Nil))
+      }
+    Evaluation.counts(Evaluation.cases(docs, EntityMeta.empty), EntityMeta.empty)
+  }
+
+  /** Flattened evaluation-case table (the reference's eval_cases.jsonl). */
+  def evalCases(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = benchmarkDocs(spark, dir)
+      .map(d => d.copy(predictions = OracleLinker.predictions(d.labels)))
+    Evaluation.cases(docs, EntityMeta.empty)
+      .select(
+        col("url"), col("begin"), col("end"), col("text"),
+        col("factor"), col("mentionType"),
+        concat_ws(",", col("linkingIgnored")).as("linking_ignored"),
+        concat_ws(",", col("linkingRequired")).as("linking_required"),
+        concat_ws(",", col("nerIgnored")).as("ner_ignored"),
+        concat_ws(",", col("errorsIgnored")).as("errors_ignored"))
+  }
+}

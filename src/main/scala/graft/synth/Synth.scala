@@ -149,6 +149,11 @@ object Synth {
       val st1 = Stopwords(java.lang.Math.floorMod(rnd(seed, 37L, p, s.toLong), 8L).toInt)
       val st2 = Stopwords(java.lang.Math.floorMod(rnd(seed, 41L, p, s.toLong), 8L).toInt)
       emit(s" $st1 $st2.")
+      // coreference fixture: a standalone pronoun paragraph referring to
+      // the preceding mention (own paragraph so mention contexts stay
+      // pronoun-free and the Jaccard bounds hold)
+      if (java.lang.Math.floorMod(rnd(seed, 43L, p, s.toLong), 4L) == 0L)
+        emit("\n\nHe returned to the scene.")
       s += 1
     }
     val url = s"https://d${p % nDomains}.example.org/p/$p"

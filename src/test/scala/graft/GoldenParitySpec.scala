@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.CaseModel._
+import graft.eval.Evaluation
+import graft.sources.BenchmarkReader
+
+/** THE parity gate: evaluate the reference's SHIPPED linker outputs
+  * (evaluation-results/<sys>/<sys>.<bench>.linked_articles.jsonl) with our
+  * Catalyst evaluator and compare micro "all" TP/FP/FN + P/R/F1 against
+  * the reference's SHIPPED eval_results.json — input+output pairs produced
+  * by the reference itself (SURVEY §5.3). */
+class GoldenParitySpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+
+  private def golden(path: String): (Long, Long, Long, Double, Double, Double) = {
+    val json = ujsonLite.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+    val all = json("IGNORED")("mention_types")("all")
+    (all("true_positives").num.toLong, all("false_positives").num.toLong,
+      all("false_negatives").num.toLong,
+      all("precision").num, all("recall").num, all("f1").num)
+  }
+
+  private def ours(linkedPath: String): Evaluation.F1 = {
+    val docs = BenchmarkReader.linkedArticles(spark, linkedPath)
+    val counts = Evaluation.counts(Evaluation.cases(docs, EntityMeta.empty), EntityMeta.empty)
+    Evaluation.microF1(counts, "IGNORED")
+  }
+
+  private def checkParity(sys: String, bench: String, dir: String = null): Unit = {
+    val d = if (dir == null) sys else dir
+    val base = s"/root/reference/evaluation-results/$d/$sys.$bench"
+    val f = ours(s"$base.linked_articles.jsonl")
+    val (tp, fp, fn, p, r, f1) = golden(s"$base.eval_results.json")
+    info(f"$sys/$bench: ours tp=${f.tp} fp=${f.fp} fn=${f.fn} F1=${f.f1}%.4f " +
+      f"| golden tp=$tp fp=$fp fn=$fn F1=$f1%.4f")
+    assert(f.tp == tp, s"$sys/$bench TP mismatch: ours=${f.tp} golden=$tp")
+    assert(f.fp == fp, s"$sys/$bench FP mismatch: ours=${f.fp} golden=$fp")
+    assert(f.fn == fn, s"$sys/$bench FN mismatch: ours=${f.fn} golden=$fn")
+    assert(math.abs(f.precision - p) < 1e-9 && math.abs(f.recall - r) < 1e-9 &&
+      math.abs(f.f1 - f1) < 1e-9)
+  }
+
+  test("golden parity: oracle on kore50 (P=R=F1=1.0)") { checkParity("oracle", "kore50") }
+  test("golden parity: baseline on kore50") { checkParity("baseline", "kore50") }
+  test("golden parity: baseline on aida-conll-test (the headline baseline)") {
+    checkParity("baseline", "aida-conll-test")
+  }
+  test("golden parity: oracle on aida-conll-test") { checkParity("oracle", "aida-conll-test") }
+  test("golden parity: baseline on msnbc") { checkParity("baseline", "msnbc") }
+  test("golden parity: baseline on wiki-fair-v2 (nested + optional + coref labels)") {
+    checkParity("baseline", "wiki-fair-v2")
+  }
+  test("golden parity: refined on aida-conll-test (best shipped system)") {
+    checkParity("refined__aida_", "aida-conll-test", dir = "refined")
+  }
+  test("golden parity: rel on aida-conll-test") {
+    checkParity("rel__2014_", "aida-conll-test", dir = "rel")
+  }
+  test("golden parity: baseline on rss-500 (NIL-heavy Derczynski-style)") {
+    checkParity("baseline", "rss-500")
+  }
+}

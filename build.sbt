@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster mode (real executor JVMs for the N-vs-4N scaling bench)
+// needs SPARK_HOME; SPARK_SCALA_VERSION skips the launcher's
+// source-tree-only build-directory probe (Spark 4.1.2 packaging quirk).
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

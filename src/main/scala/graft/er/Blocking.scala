@@ -114,8 +114,13 @@ object Blocking {
     * table. */
   def keyedWithAttrs(mentions: Dataset[Mention], cfg: Config): DataFrame = {
     import mentions.sparkSession.implicits._
+    // context tokens travel as SORTED 64-bit hashes: the pair-scale join is
+    // memory-bandwidth bound, and hashes cut row bytes ~3x vs string
+    // arrays (Jaccard over them via SortedLongJaccardExpr is exact modulo
+    // 64-bit collisions)
     val k = mentions.flatMap { m =>
-      keysFor(m, cfg).map(key => (key, m.mention_id, m.norm_surface, m.context, m.gold_entity))
+      val ctxHashes = m.context.map(graft.dedup.Dedup.hashString).toArray.sorted
+      keysFor(m, cfg).map(key => (key, m.mention_id, m.norm_surface, ctxHashes, m.gold_entity))
     }.toDF("key", "id", "ns", "ctx", "gold")
     val sizes = k.groupBy("key").agg(count("*").as("block_size"))
     k.join(broadcast(sizes), Seq("key"))

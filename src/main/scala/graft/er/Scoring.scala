@@ -82,29 +82,51 @@ object Scoring {
     * dropDuplicates("a","b") — all duplicate rows are bit-identical, so
     * the choice is deterministic. */
   def scoreFused(keyed: DataFrame, cfg: Config = Config()): DataFrame = {
+    // Explicit co-partitioning with a FIXED width: the join's cost is its
+    // OUTPUT (pairs), which AQE cannot see — left to adaptive coalescing,
+    // the ~MB-sized keyed input collapses into a couple of partitions and
+    // the quadratic pair generation lands in one straggler task. A
+    // user-specified repartition is exempt from AQE coalescing.
+    val parts = keyed.sparkSession.sessionState.conf.numShufflePartitions
     val l = keyed.select(col("bkey"), col("id").as("a"), col("ns").as("ns_a"),
       col("ctx").as("ctx_a"), col("gold").as("gold_a"))
+      .repartition(parts, col("bkey"))
     val r = keyed.select(col("bkey"), col("id").as("b"), col("ns").as("ns_b"),
       col("ctx").as("ctx_b"), col("gold").as("gold_b"))
+      .repartition(parts, col("bkey"))
     scoreColumns(
       l.join(r, Seq("bkey")).where(col("a") < col("b")), cfg)
       .select("a", "b", "gold_a", "gold_b", "jw", "lev", "jaccard", "score", "is_match")
   }
 
   private def scoreColumns(df: DataFrame, cfg: Config): DataFrame =
-    df.withColumn("jw", jwUdf(col("ns_a"), col("ns_b")))
-      .withColumn("lev", levenshtein(col("ns_a"), col("ns_b")))
+    df.withColumn("jw", graft.functions.JaroWinklerExpr.jaro_winkler(col("ns_a"), col("ns_b")))
+      // native merge-based Jaccard over the SORTED context arrays —
+      // array_intersect/array_union allocate per row and turn the 32-thread
+      // hot loop GC-bound (see ARCHITECTURE.md scale notes). Long-hash
+      // signatures (fused path) and string arrays (legacy path) both work.
       .withColumn(
-        "jaccard",
-        when(size(array_union(col("ctx_a"), col("ctx_b"))) === 0, lit(0.0))
-          .otherwise(
-            size(array_intersect(col("ctx_a"), col("ctx_b"))).cast("double") /
-              size(array_union(col("ctx_a"), col("ctx_b"))).cast("double")))
+        "jaccard", {
+          import org.apache.spark.sql.types.{ArrayType, LongType}
+          df.schema("ctx_a").dataType match {
+            case ArrayType(LongType, _) =>
+              graft.functions.SortedLongJaccardExpr.sorted_long_jaccard(col("ctx_a"), col("ctx_b"))
+            case _ =>
+              graft.functions.SortedJaccardExpr.sorted_jaccard(col("ctx_a"), col("ctx_b"))
+          }
+        })
       .withColumn("score", lit(cfg.wJw) * col("jw") + lit(cfg.wJaccard) * col("jaccard"))
       .withColumn(
         "is_match",
         (col("jw") >= cfg.jwThreshold && col("score") >= cfg.scoreThreshold) ||
           col("jaccard") >= cfg.jaccardOnlyThreshold)
+      // levenshtein is informational (not part of the match rule) and
+      // allocates two int rows per call — computed for match candidates
+      // only; -1 elsewhere (evaluated AFTER is_match so 95%+ of pairs skip
+      // the O(n*m) pass)
+      .withColumn(
+        "lev",
+        when(col("is_match"), levenshtein(col("ns_a"), col("ns_b"))).otherwise(lit(-1)))
 
   /** Score candidate pairs. `pairs` has columns (a, b) of mention ids. */
   def scorePairs(mentions: Dataset[Mention], pairs: DataFrame, cfg: Config = Config()): DataFrame = {

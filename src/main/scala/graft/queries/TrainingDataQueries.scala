@@ -33,7 +33,7 @@ object TrainingDataQueries {
 
   def ddEmbeddingDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(embs(spark, dir), "vec_id", "embedding",
-      minCosine = 0.25, nBits = 8, bandBits = 2)
+      minCosine = 0.25, nBits = 16, bandBits = 4)
 
   def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)

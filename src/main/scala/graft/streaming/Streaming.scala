@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Mention, Page}
+
+/** Structured Streaming extensions (SURVEY §1.3: the reference is pure
+  * batch; incremental ingest of new WARC/page partitions is the natural
+  * web-scale extension).
+  *
+  *   - pageMentionStream: readStream over the pages table → the same
+  *     narrow extraction flatMap as the batch path (identical semantics,
+  *     one code path — Mentions.fromPages works on streaming Datasets
+  *     because it is a pure flatMap).
+  *   - eventWindowCounts: watermarked sliding-window aggregation over the
+  *     events table (late data dropped after the watermark).
+  */
+object Streaming {
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Streaming mention extraction over a parquet directory of pages. */
+  def pageMentionStream(spark: SparkSession, pagesDir: String): DataFrame = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(pagesDir)
+      .as[Page]
+    graft.er.Mentions.fromPages(pages).toDF()
+  }
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Watermarked tumbling-window counts per event type. */
+  def eventWindowCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(eventsDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.BenchmarkStatistics
+import graft.eval.CaseModel._
+import graft.sources.BenchmarkReader
+
+/** A12 golden parity: histograms vs the reference's shipped
+  * benchmarks/kore50.benchmark_statistics.jsonl (mention types, type
+  * histogram, multi-word histogram, exact tags; spaCy-dependent
+  * word/sent counts excluded per SURVEY §7.4). */
+class BenchmarkStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+
+  private lazy val golden = ujsonLite.parse(new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/benchmarks/kore50.benchmark_statistics.jsonl")), "UTF-8"))
+
+  private lazy val facts = BenchmarkStatistics.labelFacts(
+    BenchmarkReader.ourJsonl(spark, "/root/reference/benchmarks/kore50.benchmark.jsonl"),
+    EntityMeta.empty).cache()
+
+  test("mention-type histogram matches the golden") {
+    val got = BenchmarkStatistics.mentionTypeHistogram(facts)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = golden("mention_types")
+    Seq("entity_named", "entity_non_named", "entity_unknown",
+      "coref_nominal", "coref_pronominal").foreach { k =>
+      assert(got.getOrElse(k, 0L) == want(k).num.toLong, s"mention type $k")
+    }
+  }
+
+  test("type histogram matches the golden") {
+    val got = BenchmarkStatistics.typeHistogram(facts)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = golden("types")
+    Seq("Q215627", "Q43229", "Q27096213", "OTHER").foreach { k =>
+      assert(got.getOrElse(k, 0L) == want(k).num.toLong, s"type $k: got=${got.get(k)}")
+    }
+  }
+
+  test("multi-word histogram matches the golden") {
+    val got = BenchmarkStatistics.multiWordHistogram(facts)
+      .collect().map(r => r.getInt(0).toString -> r.getLong(1)).toMap
+    val want = golden("multi_word_statistics")
+    Seq("1", "2", "3", "4").foreach { k =>
+      assert(got.getOrElse(k, 0L) == want(k).num.toLong, s"multi-word $k")
+    }
+  }
+
+  test("exact tags match the golden (capitalized/unknown/root/child/optional)") {
+    val got = BenchmarkStatistics.tagHistogram(facts)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = golden("tags")
+    Seq("capitalized", "lowercased", "non_alpha", "unknown", "unknown_nil",
+      "unknown_no_mapping", "optional", "root", "child").foreach { k =>
+      assert(got.getOrElse(k, 0L) == want(k).num.toLong,
+        s"tag $k: got=${got.getOrElse(k, 0L)} want=${want(k).num.toLong}")
+    }
+  }
+
+  test("label count matches the golden") {
+    val stats = BenchmarkStatistics.textStatistics(
+      BenchmarkReader.ourJsonl(spark, "/root/reference/benchmarks/kore50.benchmark.jsonl")).head()
+    assert(stats.getLong(0) == 50L) // articles
+    assert(stats.getLong(1) == golden("text_statistics")("labels").num.toLong)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.er.{Blocking, Mentions, Scoring}
+import graft.queries.Queries
+import graft.synth.Synth
+
+/** Physical-plan audit: the properties that make the plans survive a
+  * 100x scale-up, asserted so they cannot silently regress —
+  * column pruning reaches the parquet scan, small dims broadcast, the
+  * fused scoring path shuffles exactly once at pair scale, filters push
+  * down. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def formatted(df: DataFrame): String = {
+    org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+  }
+
+  test("q1: column pruning reaches the lineitem scan (no unused columns read)") {
+    val p = Queries.q1AggPricing(spark, dir).queryExecution.optimizedPlan.toString
+    val scan = plan(Queries.q1AggPricing(spark, dir))
+    assert(scan.contains("ReadSchema"))
+    // only the 4 referenced columns may be read
+    val readSchema = scan.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads unused columns: $readSchema")
+    val _ = p
+  }
+
+  test("q2: dimension joins are broadcast, not shuffled") {
+    val p = plan(Queries.q2RegionRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "nation/region should broadcast")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join in dimension join")
+  }
+
+  test("q5: anti join filter is pushed into the orders scan") {
+    val p = plan(Queries.q5CustomersNoOrders(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]") ||
+      p.contains("EqualTo(o_orderstatus,F)"), s"status filter not pushed down:\n$p")
+  }
+
+  test("fused scoring plan shuffles the keyed table exactly once at pair scale") {
+    val mentions = Mentions.fromPages(Synth.pages(spark, 50, 42L, 5))
+    val keyed = Blocking.keyedWithAttrs(mentions, Blocking.Config())
+    val scored = Scoring.scoreFused(keyed)
+    val p = plan(scored)
+    // Exchanges: block-size aggregation (partial+final over the tiny key
+    // table) + the self-join co-partitioning. The pair-scale output must
+    // NOT be followed by any further Exchange.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"too many shuffles ($exchanges) in fused scoring plan:\n$p")
+    // scoring expressions sit above the join, not behind another shuffle:
+    val afterJoin = p.substring(p.indexOf("Join"))
+    assert(!afterJoin.contains("Exchange") || p.indexOf("Exchange", p.indexOf("Join")) >
+      p.indexOf("levenshtein").max(0),
+      "pair rows are shuffled after scoring")
+  }
+
+  test("whole-stage codegen covers the quality-scoring column pipeline") {
+    val df = graft.text.TextAnalysis.withQuality(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+    val p = plan(df)
+    // executedPlan.toString marks codegen stages with "*(n)"
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
+      s"quality pipeline fell out of codegen:\n$p")
+  }
+
+  test("documents scans prune to the referenced columns") {
+    val p = plan(Queries.q8Unigrams(spark, dir))
+    val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"q8 should read only text: $readSchema")
+  }
+}

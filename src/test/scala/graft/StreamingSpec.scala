@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+import graft.synth.Synth
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+
+  test("streaming mention extraction matches the batch path exactly") {
+    val dir = Files.createTempDirectory("pages_stream").toString
+    val pages = Synth.pages(spark, 80, seed = 42L, nDomains = 5)
+    pages.write.mode("overwrite").parquet(dir)
+
+    val q = Streaming.pageMentionStream(spark, dir)
+      .writeStream.format("memory").queryName("mentions_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mentions_stream")
+        .select("mention_id", "gold_entity")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val batch = graft.er.Mentions.fromPages(pages)
+        .select(col("mention_id"), col("gold_entity"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(streamed == batch, "streaming and batch extraction disagree")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("incremental arrival: new files are picked up by the next trigger") {
+    val dir = Files.createTempDirectory("pages_incr").toString
+    Synth.pages(spark, 40, seed = 1L, nDomains = 5).write.mode("append").parquet(dir)
+    val q = Streaming.pageMentionStream(spark, dir)
+      .writeStream.format("memory").queryName("mentions_incr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("mentions_incr").count()
+      // new partition arrives
+      Synth.pages(spark, 40, seed = 2L, nDomains = 5).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val n2 = spark.table("mentions_incr").count()
+      assert(n1 > 0 && n2 > n1, s"incremental batch not consumed: $n1 -> $n2")
+    } finally q.stop()
+  }
+
+  test("watermarked window aggregation over the events table") {
+    // the file source needs a directory; restage the single-file table
+    val eventsDir = Files.createTempDirectory("events_stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(eventsDir)
+    val q = Streaming.eventWindowCounts(spark, eventsDir)
+      .writeStream.format("memory").queryName("event_windows")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only windows closed by the watermark; with a
+      // static file source the final windows stay open, so check state via
+      // a complete-mode run instead
+    } finally q.stop()
+    val q2 = Streaming.eventWindowCounts(spark, eventsDir)
+      .writeStream.format("memory").queryName("event_windows_c")
+      .outputMode("complete").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("event_windows_c")
+      assert(rows.count() > 0)
+      val total = rows.agg(sum("n")).head().getLong(0)
+      assert(total == 1000L, s"window counts should cover all 1000 events, got $total")
+    } finally q2.stop()
+  }
+}

@@ -79,6 +79,53 @@ class TextMultimodalPipelineSpec extends AnyFunSuite {
     assert(perVideo.collect().forall(r => videoIds.contains(r.getLong(0))))
   }
 
+  test("ER pipeline is kill-and-resume safe across the full stage graph") {
+    import graft.pipeline.ErPipelineRunner
+    val root = Files.createTempDirectory("er_pipe").toString
+    val r1 = ErPipelineRunner.run(spark, root, nPages = 60)
+    assert(r1.stagesComputed == Seq("mentions", "match_edges", "clusters"))
+    // materialize eagerly: later runs overwrite the snapshot files this
+    // lazy DataFrame points at
+    val c1 = r1.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val n1 = c1.size.toLong
+    // full resume: everything from snapshots
+    val r2 = ErPipelineRunner.run(spark, root, nPages = 60)
+    assert(r2.stagesComputed.isEmpty && r2.stagesFromSnapshot.size == 3)
+    assert(r2.clusters.count() == n1)
+    // kill mid-run: clusters manifest missing -> only clusters recomputes
+    Files.delete(java.nio.file.Paths.get(graft.pipeline.Pipeline.manifestPath(root, "clusters")))
+    val r3 = ErPipelineRunner.run(spark, root, nPages = 60)
+    assert(r3.stagesComputed == Seq("clusters") && r3.stagesFromSnapshot.size == 2)
+    val c3 = r3.clusters.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(c1 == c3, "resumed run must reproduce identical clusters")
+  }
+
+  test("jaro_winkler fast byte path agrees with the String implementation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(13)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz "
+    (0 until 3000).foreach { _ =>
+      val s1 = (0 until rng.nextInt(20)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      val s2 = (0 until rng.nextInt(20)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      val fast = graft.functions.JaroWinklerExpr.similarity(
+        UTF8String.fromString(s1), UTF8String.fromString(s2))
+      val exact = graft.er.Scoring.jaroWinkler(s1, s2)
+      assert(math.abs(fast - exact) < 1e-12, s"'$s1' vs '$s2': $fast != $exact")
+    }
+    // non-ASCII falls back to the exact path
+    val f = graft.functions.JaroWinklerExpr.similarity(
+      UTF8String.fromString("jörn münch"), UTF8String.fromString("jörn munch"))
+    assert(math.abs(f - graft.er.Scoring.jaroWinkler("jörn münch", "jörn munch")) < 1e-12)
+  }
+
+  test("jaro_winkler SQL function: codegen path agrees with the plain scorer") {
+    graft.functions.JaroWinklerExpr.register(spark)
+    val r = spark.sql("SELECT jaro_winkler('john smith', 'john smiht') AS jw").head().getDouble(0)
+    assert(math.abs(r - graft.er.Scoring.jaroWinkler("john smith", "john smiht")) < 1e-12)
+    val nullR = spark.sql("SELECT jaro_winkler(NULL, 'x') AS jw").head()
+    assert(nullR.isNullAt(0))
+  }
+
   test("pipeline: stages snapshot, resume skips completed work, manifests carry lineage") {
     val root = Files.createTempDirectory("graft_pipe").toString
     var computesA = 0

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ErQueries, EvalQueries, Queries, TrainingDataQueries}
+import graft.queries.{ErQueries, EvalQueries, Queries, Queries2, TrainingDataQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,14 @@ object SparkEntry {
     "q13_sessions" -> (Queries.q13Sessions(_, _)),
     "q14_orders_daily" -> (Queries.q14OrdersDaily(_, _)),
     "q15_jaccard_pairs" -> (Queries.q15JaccardPairs(_, _)),
+    "q16_revenue_by_priority" -> (Queries2.q16RevenueByPriority(_, _)),
+    "q17_rollup_orders" -> (Queries2.q17RollupOrders(_, _)),
+    "q18_part_strings" -> (Queries2.q18PartStrings(_, _)),
+    "q19_event_pivot" -> (Queries2.q19EventPivot(_, _)),
+    "q20_nation_set_ops" -> (Queries2.q20NationSetOps(_, _)),
+    "q21_ship_months" -> (Queries2.q21ShipMonths(_, _)),
+    "q22_popular_parts" -> (Queries2.q22PopularParts(_, _)),
+    "q23_top_docs" -> (Queries2.q23TopDocs(_, _)),
     // ER pipeline over the synthetic pages table (rows-only checks)
     "er_extract" -> (ErQueries.erExtract(_, _)),
     "er_mentions" -> (ErQueries.erMentions(_, _)),
@@ -79,5 +87,13 @@ object SparkEntry {
     "q13_sessions" -> Queries.q13Sql,
     "q14_orders_daily" -> Queries.q14Sql,
     "q15_jaccard_pairs" -> Queries.q15Sql,
+    "q16_revenue_by_priority" -> Queries2.q16Sql,
+    "q17_rollup_orders" -> Queries2.q17Sql,
+    "q18_part_strings" -> Queries2.q18Sql,
+    "q19_event_pivot" -> Queries2.q19Sql,
+    "q20_nation_set_ops" -> Queries2.q20Sql,
+    "q21_ship_months" -> Queries2.q21Sql,
+    "q22_popular_parts" -> Queries2.q22Sql,
+    "q23_top_docs" -> Queries2.q23Sql,
   )
 }

@@ -74,6 +74,54 @@ object KbBuild {
       .agg(sort_array(collect_set(col("url"))).as("urls"))
   }
 
+  /** A4 — alias frequency: total link count per alias
+    * (entity_database.py:394-398). */
+  def aliasFrequency(linkFreq: DataFrame): DataFrame =
+    linkFreq.groupBy(col("link_text").as("alias")).agg(sum(col("freq")).as("freq"))
+
+  /** A5 — entity frequency: total link count per entity
+    * (entity_database.py:379-384). */
+  def entityFrequency(linkFreq: DataFrame): DataFrame =
+    linkFreq.groupBy(col("entity_id")).agg(sum(col("freq")).as("freq"))
+
+  /** A8 — redirect extraction from raw dump lines: a `<title>` line
+    * followed by a `#REDIRECT [[target]]` line (reference:
+    * scripts/extract_redirects.py:19-57 — the sequential title/body
+    * pairing becomes a per-line parse + self-pairing via lag). */
+  def extractRedirects(rawLines: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("file")).orderBy(col("line_no"))
+    rawLines
+      .withColumn("title", regexp_extract(col("value"), "<title>(.*?)</title>", 1))
+      .withColumn("redirect", regexp_extract(col("value"), "#REDIRECT\\s*\\[\\[(.*?)(?:\\||#|]])", 1))
+      .withColumn("last_title", last(when(col("title") =!= "", col("title")), ignoreNulls = true).over(w))
+      .where(col("redirect") =!= "")
+      .select(col("last_title").as("from_title"), col("redirect").as("to_title"))
+      .where(col("from_title").isNotNull)
+  }
+
+  /** J5/E2 — link-target → entity resolution with redirect chase: the
+    * reference's two-step dict fallback (entity_database.py:345-356)
+    * becomes two left joins + coalesce; the uppercase-first-letter
+    * variant (wikipedia_dump_reader.py:49-54) is an initcap retry key. */
+  def resolveTargets(links: DataFrame, title2qid: DataFrame, redirects: DataFrame): DataFrame = {
+    val t2qDirect = broadcast(title2qid.select(
+      col("title").as("t_direct"), col("qid").as("qid_direct")))
+    val red = broadcast(redirects.select(
+      col("from_title").as("r_from"), col("to_title").as("r_to")))
+    val t2qRedir = broadcast(title2qid.select(
+      col("title").as("t_redir"), col("qid").as("qid_redir")))
+    links
+      // normalize: uppercase first letter (the wiki-title convention)
+      .withColumn("norm_target",
+        concat(upper(substring(col("target"), 1, 1)), substring(col("target"), 2, 1000000)))
+      .join(t2qDirect, col("norm_target") === col("t_direct"), "left")
+      .join(red, col("norm_target") === col("r_from"), "left")
+      .join(t2qRedir, col("r_to") === col("t_redir"), "left")
+      .withColumn("entity_id", coalesce(col("qid_direct"), col("qid_redir")))
+      .drop("t_direct", "r_from", "r_to", "t_redir")
+  }
+
   /** U1 — alias candidate table: union of the name / family-name /
     * link-text sources with provenance (entity_database.py:264-274). */
   def aliasTable(entities: DataFrame, linkFreq: DataFrame): DataFrame = {

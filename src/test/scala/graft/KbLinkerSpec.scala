@@ -68,6 +68,50 @@ class KbLinkerSpec extends AnyFunSuite {
     assert(sources == Set("name", "family_name", "link"))
   }
 
+  test("A4/A5 alias and entity frequencies sum to the hyperlink total") {
+    val lf = KbBuild.linkFrequencies(pages).cache()
+    val total = mentions.count()
+    assert(KbBuild.aliasFrequency(lf).agg(sum("freq")).head().getLong(0) == total)
+    assert(KbBuild.entityFrequency(lf).agg(sum("freq")).head().getLong(0) == total)
+  }
+
+  test("A8 redirect extraction pairs titles with redirect bodies") {
+    import spark.implicits._
+    val lines = Seq(
+      ("f1", 1L, "  <title>Old Name</title>"),
+      ("f1", 2L, "  some xml"),
+      ("f1", 3L, "#REDIRECT [[New Name]]"),
+      ("f1", 4L, "  <title>Regular Page</title>"),
+      ("f1", 5L, "  body text, no redirect"),
+      ("f1", 6L, "  <title>Other Old</title>"),
+      ("f1", 7L, "#REDIRECT [[Target#Section]]")).toDF("file", "line_no", "value")
+    val got = KbBuild.extractRedirects(lines)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("Old Name", "New Name"), ("Other Old", "Target")))
+  }
+
+  test("J5 link resolution chases redirects with coalesce fallback") {
+    import spark.implicits._
+    val links = Seq(("u1", "direct_page"), ("u2", "Old Name"), ("u3", "Nowhere"))
+      .toDF("url", "target")
+    val t2q = Seq(("Direct_page", "Q1"), ("New Name", "Q2")).toDF("title", "qid")
+    val redirects = Seq(("Old Name", "New Name")).toDF("from_title", "to_title")
+    val got = KbBuild.resolveTargets(links, t2q, redirects)
+      .select("url", "entity_id")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(got("u1").contains("Q1")) // direct (with initcap normalization)
+    assert(got("u2").contains("Q2")) // via redirect
+    assert(got("u3").isEmpty) // unresolvable -> null
+  }
+
+  test("q19 event-type domain is fixed across all sfs") {
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val types = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+        .select("event_type").distinct().collect().map(_.getString(0)).sorted.toSeq
+      assert(types == graft.queries.Queries2.EventTypes, s"event types changed at $sf")
+    }
+  }
+
   test("baseline linker (most-popular, min-tie-break) links canonical mentions correctly") {
     val lf = KbBuild.linkFrequencies(pages)
     val mp = KbBuild.mostPopularCandidates(lf)
@@ -79,6 +123,31 @@ class KbLinkerSpec extends AnyFunSuite {
     // hot-alias mentions are inherently ambiguous → below 1.0
     assert(correct.toDouble / n > 0.9, s"accuracy ${correct.toDouble / n}")
     assert(correct < n, "hot alias should cause some wrong links")
+  }
+
+  test("popular-entities linker: sitelink argmax with name-preference tie-break") {
+    import spark.implicits._
+    import graft.linker.PopularEntitiesLinker
+    // entity E1 canonical name normalized; two candidates for the alias
+    val ment = mentions.limit(50).cache()
+    val surf = ment.head().norm_surface
+    val aliases = Seq(
+      (surf, "Zx9", "alias"), // higher id, alias source
+      (surf, "Ax1", "name"), // name source
+      (surf, "Mx5", "alias")).toDF("alias", "entity_id", "source")
+    // equal sitelinks: name-source with smallest id must win
+    val equalSl = Seq(("Zx9", 10L), ("Ax1", 10L), ("Mx5", 10L)).toDF("entity_id", "sitelinks")
+    val got1 = PopularEntitiesLinker.link(ment, aliases, equalSl)
+      .where(col("surface").isNotNull).select("entity_id").head().getString(0)
+    assert(got1 == "Ax1", s"name-source preference broken: $got1")
+    // higher sitelinks dominates source preference
+    val skewSl = Seq(("Zx9", 99L), ("Ax1", 10L), ("Mx5", 10L)).toDF("entity_id", "sitelinks")
+    val got2 = PopularEntitiesLinker.link(ment, aliases, skewSl)
+      .select("entity_id").head().getString(0)
+    assert(got2 == "Zx9", s"sitelink argmax broken: $got2")
+    // minScore filters everything -> no rows
+    val none = PopularEntitiesLinker.link(ment, aliases, equalSl, minScore = 50L)
+    assert(none.count() == 0)
   }
 
   test("prior linker argmax is deterministic under repartitioning") {

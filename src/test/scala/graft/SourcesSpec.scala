@@ -72,6 +72,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(got(1).predictions.isEmpty)
   }
 
+  test("S2: AIDA-CoNLL IOB TSV reader on a synthetic fixture") {
+    val tsv = Seq(
+      "-DOCSTART- (1 EU)",
+      "EU\tB\tEU\t--NME--",
+      "rejects\tO",
+      "German\tB\tGerman\tGermany\thttp://en.wikipedia.org/wiki/Germany\t11867\t/m/0345h",
+      "call\tO",
+      "-DOCSTART- (2 Peter)",
+      "Peter\tB\tPeter Blackburn\tPeter_Blackburn\thttp://www.wikidata.org/entity/Q7172668",
+      "Blackburn\tI\tPeter Blackburn\tnull",
+      "spoke\tO",
+      "").mkString("\n")
+    val docs = graft.sources.AidaConllReader.parseFile(tsv,
+      Map("Germany" -> "Q183"))
+    assert(docs.length == 2)
+    val d1 = docs(0)
+    assert(d1.text == "EU rejects German call")
+    assert(d1.labels.map(l => (l.begin, l.end, l.entityId)).toSet ==
+      Set((0, 2, NIL), (11, 17, "Q183")))
+    assert(d1.text.substring(11, 17) == "German")
+    val d2 = docs(1)
+    assert(d2.text == "Peter Blackburn spoke")
+    // "I" + "null" continuation: one label spanning both tokens
+    assert(d2.labels.map(l => (l.begin, l.end, l.entityId)) ==
+      Seq((0, 15, "Q7172668")))
+    assert(d2.text.substring(0, 15) == "Peter Blackburn")
+  }
+
   test("F8: QID normalization semantics") {
     assert(QidMapper.getWikidataQid("", Map.empty) == NIL)
     assert(QidMapper.getWikidataQid("NIL", Map.empty) == NIL)

@@ -155,6 +155,31 @@ object BenchmarkReader {
       StructField("entity_reference", StringType),
       StructField("candidates", ArrayType(StringType))))))))
 
+  /** J6 text-prefix mode — attach predictions to articles by joining on
+    * the first 100 characters of the article text (the reference
+    * literally keys predictions by `text[:100]`,
+    * abstract_prediction_reader.py:104,119-130). predsWithText:
+    * DataFrame(text STRING, preds ARRAY<PredSpan-struct>). Articles
+    * without a prefix match keep empty predictions (reference returns {}
+    * with a warning). */
+  def attachPredictionsByTextPrefix(
+      docs: Dataset[EvalDoc],
+      predsWithText: Dataset[(String, Seq[PredSpan])],
+      compareLength: Int = 100): Dataset[EvalDoc] = {
+    import docs.sparkSession.implicits._
+    val keyedPreds = predsWithText
+      .map { case (text, ps) => (text.take(compareLength), ps) }
+      .toDF("prefix", "preds")
+      .dropDuplicates("prefix") // reference dict: last wins; any is deterministic after dedupe
+      .as[(String, Seq[PredSpan])]
+    val keyedDocs = docs.map(d => (d.text.take(compareLength), d))
+    keyedDocs
+      .joinWith(keyedPreds, keyedDocs("_1") === keyedPreds("prefix"), "left")
+      .map { case ((_, doc), p) =>
+        doc.copy(predictions = Option(p).map(_._2).getOrElse(Nil))
+      }
+  }
+
   /** S5 — order-based prediction attach: line i of the prediction file
     * belongs to article i (abstract_prediction_reader.py order mode) —
     * a zipWithIndex equality join. */

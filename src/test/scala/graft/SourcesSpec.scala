@@ -100,6 +100,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(d2.text.substring(0, 15) == "Peter Blackburn")
   }
 
+  test("J6: text-prefix prediction matching (100-char key join)") {
+    import spark.implicits._
+    val docs = Seq(
+      EvalDoc("a", "Alpha text that goes on. " + ("x" * 120), 0, 140, Nil, Nil),
+      EvalDoc("b", "Beta text here.", 0, 15, Nil, Nil),
+      EvalDoc("c", "Gamma unmatched.", 0, 16, Nil, Nil)).toDS()
+    val preds = Seq(
+      ("Alpha text that goes on. " + ("x" * 120) + "TRAILING DIFFERS",
+        Seq(PredSpan(0, 5, "Q1", Seq("Q1"), "t"))),
+      ("Beta text here.", Seq(PredSpan(0, 4, "Q2", Seq("Q2"), "t")))).toDS()
+    val got = graft.sources.BenchmarkReader.attachPredictionsByTextPrefix(docs, preds)
+      .collect().map(d => d.url -> d.predictions.map(_.entityId)).toMap
+    assert(got("a") == Seq("Q1"), "prefix match must tolerate trailing divergence")
+    assert(got("b") == Seq("Q2"))
+    assert(got("c").isEmpty, "unmatched article keeps empty predictions")
+  }
+
   test("F8: QID normalization semantics") {
     assert(QidMapper.getWikidataQid("", Map.empty) == NIL)
     assert(QidMapper.getWikidataQid("NIL", Map.empty) == NIL)

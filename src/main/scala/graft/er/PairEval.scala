@@ -52,9 +52,13 @@ object PairEval {
     import spark.implicits._
     // fused scale path: one co-partitioning shuffle, scoring map-side;
     // the labeled-pair universe is deduplicated (duplicate rows are
-    // bit-identical across block keys, so the drop is deterministic)
+    // bit-identical across block keys, so the drop is deterministic).
+    // Only the eval-relevant columns go through the dedupe shuffle.
     val keyed = Blocking.keyedWithAttrs(mentions, blockCfg)
-    val scored = Scoring.scoreFused(keyed, scoreCfg).dropDuplicates("a", "b").cache()
+    val scored = Scoring.scoreFused(keyed, scoreCfg)
+      .select("a", "b", "gold_a", "gold_b", "is_match")
+      .dropDuplicates("a", "b")
+      .cache()
     val edges = scored.where(col("is_match")).select(col("a"), col("b"))
     val ids = mentions.select(col("mention_id").as("id"))
     val clusters = Clustering.assign(spark, ids, edges).cache()

@@ -43,6 +43,44 @@ class GoldenParitySpec extends AnyFunSuite {
       math.abs(f.f1 - f1) < 1e-9)
   }
 
+  test("golden parity, full bucket structure: baseline on aida-conll-test") {
+    // beyond micro-"all": every mention-type bucket and the NER counters,
+    // in BOTH evaluation modes
+    val base = "/root/reference/evaluation-results/baseline/baseline.aida-conll-test"
+    val docs = BenchmarkReader.linkedArticles(spark, s"$base.linked_articles.jsonl")
+    val counts = Evaluation.counts(Evaluation.cases(docs, EntityMeta.empty), EntityMeta.empty)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val json = ujsonLite.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base.eval_results.json")), "UTF-8"))
+    Seq("IGNORED", "REQUIRED").foreach { mode =>
+      val cats = Seq("all", "coref", "entity_named", "entity_non_named", "entity_unknown",
+        "coref_nominal", "coref_pronominal")
+      cats.foreach { cat =>
+        val g = json(mode)("mention_types")(cat)
+        val (gotTp, gotFp, gotFn) = counts.getOrElse((mode, cat), (0L, 0L, 0L))
+        // TP/FN bucket assignment uses GT label names (shipped in the file)
+        // → exact. FP bucket assignment for false detections uses the
+        // PREDICTED entity's KB name (not shipped) → compared as the
+        // entity-rollup sum below instead of per bucket.
+        assert(gotTp == g("true_positives").num.toLong, s"$mode/$cat TP")
+        assert(gotFn == g("false_negatives").num.toLong, s"$mode/$cat FN")
+        if (cat == "all" || cat.startsWith("coref"))
+          assert(gotFp == g("false_positives").num.toLong, s"$mode/$cat FP")
+      }
+      val entityFpGot = Seq("entity_named", "entity_non_named", "entity_unknown")
+        .map(c => counts.getOrElse((mode, c), (0L, 0L, 0L))._2).sum
+      val entityFpWant = Seq("entity_named", "entity_non_named", "entity_unknown")
+        .map(c => json(mode)("mention_types")(c)("false_positives").num.toLong).sum
+      assert(entityFpGot == entityFpWant, s"$mode entity-rollup FP")
+      val g = json(mode)("error_categories")("ner")
+      val want = (g("true_positives").num.toLong, g("false_positives").num.toLong,
+        g("false_negatives").num.toLong)
+      val got = counts.getOrElse((mode, "ner"), (0L, 0L, 0L))
+      assert(got == want, s"$mode/ner: got=$got want=$want")
+    }
+  }
+
   test("golden parity: oracle on kore50 (P=R=F1=1.0)") { checkParity("oracle", "kore50") }
   test("golden parity: baseline on kore50") { checkParity("baseline", "kore50") }
   test("golden parity: baseline on aida-conll-test (the headline baseline)") {

@@ -157,16 +157,11 @@ object Dedup {
 
   // ---------- embedding cosine ------------------------------------------------
 
-  /** Cosine similarity of two float vectors as a codegen'd column expr. */
+  /** Cosine similarity of two double-array columns — native fused-loop
+    * expression (graft.functions.CosineExpr); callers cast float arrays to
+    * array<double> first. */
   def cosineCol(a: Column, b: Column): Column =
-    expr_cos(a, b)
-
-  private def expr_cos(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (s, v) => s + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (s, v) => s + v * v))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
-  }
+    graft.functions.CosineExpr.cosine_sim(a, b)
 
   /** Embedding near-duplicate pairs (cosine >= minCosine) via
     * random-hyperplane LSH: `nBits`-bit sign signature, bucketed by
@@ -216,7 +211,7 @@ object Dedup {
     val r = banded.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", expr_cos(col("v_a"), col("v_b")))
+      .withColumn("cosine", cosineCol(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .dropDuplicates("id_a", "id_b")

@@ -29,10 +29,14 @@ object Queries {
         sum(round(col("l_extendedprice") * 100).cast("bigint")).as("price_cents"),
         count(lit(1)).as("n"))
 
+  // NOTE (round-2 fix): DuckDB's sum() over integer types returns
+  // HUGEINT/DECIMAL(38,0) regardless of the *input* cast, which the driver's
+  // value canonicalization renders differently than Spark's BIGINT — so every
+  // oracle sum() must be wrapped in an OUTER CAST(... AS BIGINT).
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
       |       count(*) AS n
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -52,7 +56,7 @@ object Queries {
 
   val q2Sql: String =
     """SELECT r_name, count(*) AS n_customers,
-      |       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
@@ -204,7 +208,8 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
   val q12Sql: String =
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang, source""".stripMargin
 
   // Q13 — sessionization: 30-minute-gap session counts per user (window +
@@ -224,7 +229,7 @@ object Queries {
   }
 
   val q13Sql: String =
-    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
       |  SELECT user_id,
       |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
       |              THEN 1 ELSE 0 END AS new_session
@@ -244,7 +249,7 @@ object Queries {
 
   val q14Sql: String =
     """SELECT CAST(o_orderdate AS DATE) AS order_day, count(*) AS n_orders,
-      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM orders GROUP BY CAST(o_orderdate AS DATE)""".stripMargin
 
   // Q15 — within-bucket exact token-Jaccard near-duplicate pairs

@@ -26,7 +26,7 @@ object Queries2 {
 
   val q16Sql: String =
     """SELECT o_orderpriority,
-      |       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+      |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
       |       count(*) AS n_items
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin
@@ -72,7 +72,7 @@ object Queries2 {
 
   val q19Sql: String = {
     val cols = EventTypes.map(tp =>
-      s"sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS n_$tp").mkString(", ")
+      s"CAST(sum(CASE WHEN event_type = '$tp' THEN 1 ELSE 0 END) AS BIGINT) AS n_$tp").mkString(", ")
     s"SELECT user_id, count(*) AS n_events, $cols FROM events GROUP BY user_id"
   }
 
@@ -110,7 +110,7 @@ object Queries2 {
   val q21Sql: String =
     """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
       |       CAST(month(l_shipdate) AS BIGINT) AS ship_month,
-      |       count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS qty
+      |       count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
   // Q22 — having-shaped correlated aggregate: parts ordered in >3 orders.

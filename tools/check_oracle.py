@@ -36,19 +36,20 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: rows differ: oracle={len(w)} got={len(g)}")
             fails += 1
             continue
-        # value compare with numeric tolerance-free equality after casting
+        # STRICT value compare: stringify like the driver's hash canonicalizer
+        # does (no pd.to_numeric — that masked the round-1 DuckDB
+        # sum()->HUGEINT vs Spark BIGINT rendering mismatch). A dtype
+        # difference that changes the string form (e.g. '123.0' vs '123',
+        # Decimal('123') vs 123) must FAIL here exactly as it fails the gate.
         eq = True
         for c in w.columns:
-            wc, gc = w[c], g[c]
-            try:
-                wc = pd.to_numeric(wc)
-                gc = pd.to_numeric(gc)
-                same = (wc == gc) | (wc.isna() & gc.isna())
-            except Exception:
-                same = wc.astype(str) == gc.astype(str)
+            wc, gc = w[c].astype(str), g[c].astype(str)
+            same = wc == gc
             if not same.all():
                 bad = (~same).idxmax()
-                print(f"FAIL {name}: column {c} differs at row {bad}: oracle={wc[bad]!r} got={gc[bad]!r}")
+                print(f"FAIL {name}: column {c} (oracle dtype={w[c].dtype}, "
+                      f"got dtype={g[c].dtype}) differs at row {bad}: "
+                      f"oracle={wc[bad]!r} got={gc[bad]!r}")
                 eq = False
                 break
         if eq:

@@ -125,10 +125,18 @@ object Bench {
 
     // --- part 1: headline queries --------------------------------------
     var spark = session(cpus)
+    // (name, seconds, failed): a crashed query must be distinguishable from
+    // a fast successful one in the JSON — failures are reported as -1.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val failed =
+        try { fn(spark, sfDir).count(); false }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: ${e.getMessage}")
+            true
+        }
+      (name, (System.nanoTime() - t0) / 1e9, failed)
     }
     spark.stop()
 
@@ -165,9 +173,11 @@ object Bench {
     val thrHi = pairsHi / secHi
     val eff = (thrHi / thrLo) / (coresHi.toDouble / coresLo)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + secLo + secHi + ccLo + ccHi
+    val qs = results.map { case (k, v, failed) =>
+      "\"" + k + "\":" + (if (failed) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val nFailed = results.count(_._3)
+    val total = results.filterNot(_._3).map(_._2).sum + secLo + secHi + ccLo + ccHi
     val scaling =
       s"""{"executors_lo":$execLo,"executors_hi":$execHi,""" +
         s""""cores_lo":$coresLo,"cores_hi":$coresHi,"pairs":$pairsHi,""" +
@@ -176,6 +186,7 @@ object Bench {
         f""""pairs_per_sec_lo":$thrLo%.1f,"pairs_per_sec_hi":$thrHi%.1f,""" +
         f""""scaling_efficiency":$eff%.3f}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed_queries":$nFailed,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

@@ -87,11 +87,18 @@ object Blocking {
     * sub-bucketed deterministically before the self-join. */
   def candidatePairs(mentions: Dataset[Mention], cfg: Config = Config()): DataFrame = {
     val k = keyed(mentions, cfg)
-    val sizes = k.groupBy("key").agg(count("*").as("block_size"))
-    // bucket = hash(id) mod ceil(size / maxBlock); key#bucket for hot blocks
+    // bucket = hash(id) mod ceil(size / maxBlock); key#bucket for hot blocks.
+    // Only the OVERSIZED keys (block_size > maxBlock) are joined back — that
+    // set is the skew tail (bounded by n_mentions*keys/maxBlock rows, tiny in
+    // practice), so it broadcasts safely at any corpus size; the full
+    // one-row-per-distinct-key table would grow linearly with the corpus and
+    // must never be broadcast.
+    val hot = k.groupBy("key").agg(count("*").as("block_size"))
+      .where(col("block_size") > cfg.maxBlock)
     val withBucket = k
-      .join(sizes, Seq("key"))
-      .withColumn("nb", ceil(col("block_size") / lit(cfg.maxBlock)).cast("int"))
+      .join(broadcast(hot), Seq("key"), "left")
+      .withColumn("nb",
+        coalesce(ceil(col("block_size") / lit(cfg.maxBlock)).cast("int"), lit(1)))
       .withColumn(
         "bkey",
         when(col("nb") <= 1, col("key"))
@@ -109,9 +116,11 @@ object Blocking {
     * carrying scoring attributes, oversized blocks sub-bucketed. This is
     * the input of the fused scoring path (Scoring.scoreFused): one shuffle
     * co-partitions mentions by block key; everything downstream is
-    * map-side. The block-size side table is tiny (one row per key) and
-    * broadcast by AQE, so bucketing adds no extra shuffle of the fact
-    * table. */
+    * map-side. Only the OVERSIZED-key rows (block_size > maxBlock) are
+    * broadcast back — the skew tail, bounded regardless of corpus size —
+    * while every other key defaults to nb=1 map-side via the left join's
+    * null. Broadcasting the FULL one-row-per-distinct-key table (as v1 did)
+    * grows linearly with mention count and OOMs at web scale. */
   def keyedWithAttrs(mentions: Dataset[Mention], cfg: Config): DataFrame = {
     import mentions.sparkSession.implicits._
     // context tokens travel as SORTED 64-bit hashes: the pair-scale join is
@@ -122,9 +131,11 @@ object Blocking {
       val ctxHashes = m.context.map(graft.dedup.Dedup.hashString).toArray.sorted
       keysFor(m, cfg).map(key => (key, m.mention_id, m.norm_surface, ctxHashes, m.gold_entity))
     }.toDF("key", "id", "ns", "ctx", "gold")
-    val sizes = k.groupBy("key").agg(count("*").as("block_size"))
-    k.join(broadcast(sizes), Seq("key"))
-      .withColumn("nb", ceil(col("block_size") / lit(cfg.maxBlock)).cast("int"))
+    val hot = k.groupBy("key").agg(count("*").as("block_size"))
+      .where(col("block_size") > cfg.maxBlock)
+    k.join(broadcast(hot), Seq("key"), "left")
+      .withColumn("nb",
+        coalesce(ceil(col("block_size") / lit(cfg.maxBlock)).cast("int"), lit(1)))
       .withColumn(
         "bkey",
         when(col("nb") <= 1, col("key"))

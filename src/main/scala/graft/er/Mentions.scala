@@ -19,6 +19,24 @@ import graft.text.Extract
   */
 object Mentions {
 
+  /** String ordering by Unicode CODE POINT — identical to UTF-8 byte order
+    * and to UTF8String.compareTo, unlike String's natural (UTF-16 code-unit)
+    * order which ranks U+E000..U+FFFF above supplementary-plane characters. */
+  val CodePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i)
+        val cy = y.codePointAt(j)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx)
+        j += Character.charCount(cy)
+      }
+      Integer.compare(x.length - i, y.length - j)
+    }
+  }
+
   def domainOf(url: String): String = {
     val noScheme = {
       val i = url.indexOf("://")
@@ -58,13 +76,17 @@ object Mentions {
       ex.hyperlinks.zipWithIndex.map { case (h, _) =>
         val surface = text.substring(h.begin, h.end)
         val (ps, pe) = paragraphOf(h.begin)
-        val para = text.substring(ps, pe)
         // tokens of the paragraph excluding the mention's own surface span
         val before = text.substring(ps, h.begin)
         val after = text.substring(h.end, pe)
-        val _ = para // (para kept for clarity of intent)
+        // sorted by CODE POINT (== UTF-8 byte order), not UTF-16 code-unit
+        // order: SortedJaccardExpr merges via UTF8String.compareTo, and the
+        // two orders differ for supplementary-plane vs U+E000..U+FFFF tokens
+        // — a default-`sorted` array could be mis-sorted for the merge and
+        // silently undercount the intersection.
         val ctx = (Extract.tokenize(before) ++ Extract.tokenize(after))
-          .map(_.toLowerCase).distinct.sorted
+          .map(_.toLowerCase).distinct
+          .sorted(Mentions.CodePointOrdering)
         Mention(
           url = page.url,
           mention_id = mentionId(page.url, h.begin),

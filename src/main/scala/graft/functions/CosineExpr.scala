@@ -1,20 +1,26 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Cosine similarity of two double arrays as a native codegen expression:
   * one fused loop over primitive doubles (dot + both norms), replacing the
   * three separate higher-order `aggregate`/`zip_with` expressions whose
   * per-row lambda evaluation and array allocation dominate the embedding
   * dedup/ANN hot paths. */
-case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // Declared input types make a mis-typed column (e.g. array<float> without
+  // the documented cast) an ANALYSIS error — or an implicit cast — instead
+  // of getDouble reading misaligned bytes and returning garbage similarities.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     CosineExpr.cosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for Jaro-Winkler similarity.
@@ -14,10 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * static scorer directly on UTF8String bytes.
   */
 case class JaroWinklerExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     JaroWinklerExpr.similarity(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Token-set Jaccard over two SORTED string arrays as a native Catalyst
@@ -19,10 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * once, as set semantics demand).
   */
 case class SortedJaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_jaccard"
+  // mis-typed inputs must fail analysis, not silently merge garbage
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     SortedJaccardExpr.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])

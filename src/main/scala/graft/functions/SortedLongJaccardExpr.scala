@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Jaccard over two SORTED long arrays (token-hash signatures): one merge
   * pass over primitive longs, no allocation, no string compares. The
@@ -12,10 +12,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * through the pair-scale join cuts shuffle/row bytes ~3x, and this box's
   * (and any node's) memory bandwidth is the binding resource there. */
 case class SortedLongJaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_long_jaccard"
+  // mis-typed inputs must fail analysis, not silently merge garbage
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     SortedLongJaccardExpr.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])

@@ -105,12 +105,16 @@ object KbBuild {
     * becomes two left joins + coalesce; the uppercase-first-letter
     * variant (wikipedia_dump_reader.py:49-54) is an initcap retry key. */
   def resolveTargets(links: DataFrame, title2qid: DataFrame, redirects: DataFrame): DataFrame = {
-    val t2qDirect = broadcast(title2qid.select(
-      col("title").as("t_direct"), col("qid").as("qid_direct")))
-    val red = broadcast(redirects.select(
-      col("from_title").as("r_from"), col("to_title").as("r_to")))
-    val t2qRedir = broadcast(title2qid.select(
-      col("title").as("t_redir"), col("qid").as("qid_redir")))
+    // No broadcast() hints: title2qid/redirects are corpus-derived (~10^8
+    // rows for a full wiki) — a forced hint overrides
+    // autoBroadcastJoinThreshold and OOMs the driver at web scale. AQE
+    // still broadcasts them when the measured size is under the threshold.
+    val t2qDirect = title2qid.select(
+      col("title").as("t_direct"), col("qid").as("qid_direct"))
+    val red = redirects.select(
+      col("from_title").as("r_from"), col("to_title").as("r_to"))
+    val t2qRedir = title2qid.select(
+      col("title").as("t_redir"), col("qid").as("qid_redir"))
     links
       // normalize: uppercase first letter (the wiki-title convention)
       .withColumn("norm_target",

@@ -16,9 +16,10 @@ import graft.model.Mention
   * PriorLinker = argmax by link frequency with entity-id tie-break
   * (prior_linker.py:110-113 → SURVEY T2), as one max_by-shaped window.
   *
-  * Both are broadcast-join plans: the alias tables are small relative to
-  * the mention table; at web scale the join flips to shuffle-hash
-  * automatically when the dimension outgrows the broadcast threshold.
+  * Neither join carries a broadcast() hint: the alias tables derive from
+  * the corpus (tens of GB at web scale), and a forced hint overrides
+  * autoBroadcastJoinThreshold — AQE picks broadcast when the measured build
+  * side is small and shuffle-hash/sort-merge otherwise.
   */
 object BaselineLinker {
 
@@ -31,7 +32,7 @@ object BaselineLinker {
     val isDate = udf((s: String) => graft.text.Extract.isDate(s))
     mentions.toDF()
       .where(!isDate(col("surface")))
-      .join(broadcast(mostPopular), col("norm_surface") === col("link_text"), "inner")
+      .join(mostPopular, col("norm_surface") === col("link_text"), "inner")
       .select(
         col("url"), col("mention_id"), col("begin"), col("end"), col("surface"),
         col("gold_entity"),
@@ -46,7 +47,7 @@ object BaselineLinker {
       .partitionBy(col("mention_id"))
       .orderBy(col("freq").desc, col("entity_id").asc)
     mentions.toDF()
-      .join(broadcast(linkFreq), col("norm_surface") === col("link_text"), "inner")
+      .join(linkFreq, col("norm_surface") === col("link_text"), "inner")
       .withColumn("rn", row_number().over(w))
       .groupBy(col("url"), col("mention_id"), col("begin"), col("end"),
         col("surface"), col("gold_entity"))

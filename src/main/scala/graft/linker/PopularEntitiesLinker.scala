@@ -28,7 +28,9 @@ object PopularEntitiesLinker {
       minScore: Long = 0L): DataFrame = {
     val cands = aliases
       .withColumn("pref", when(col("source").isin("name", "demonym"), 1).otherwise(0))
-      .join(broadcast(sitelinks), Seq("entity_id"), "left")
+      // no broadcast hint: sitelinks is corpus-sized at web scale; AQE
+      // broadcasts it automatically when it measures small
+      .join(sitelinks, Seq("entity_id"), "left")
       .withColumn("sitelinks", coalesce(col("sitelinks"), lit(0L)))
     val joined = mentions.toDF()
       .join(cands, col("norm_surface") === col("alias"))

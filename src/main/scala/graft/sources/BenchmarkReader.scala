@@ -167,10 +167,16 @@ object BenchmarkReader {
       predsWithText: Dataset[(String, Seq[PredSpan])],
       compareLength: Int = 100): Dataset[EvalDoc] = {
     import docs.sparkSession.implicits._
-    val keyedPreds = predsWithText
-      .map { case (text, ps) => (text.take(compareLength), ps) }
-      .toDF("prefix", "preds")
-      .dropDuplicates("prefix") // reference dict: last wins; any is deterministic after dedupe
+    // The reference builds a dict keyed by text[:100] line by line, so a
+    // later line overwrites an earlier one with the same prefix (last
+    // wins). dropDuplicates("prefix") keeps a partition-dependent row —
+    // NOT deterministic — so pin the choice with zipWithIndex (file order)
+    // + max_by(index): exactly the dict's last-wins pick.
+    val keyedPreds = predsWithText.rdd.zipWithIndex()
+      .map { case ((text, ps), idx) => (text.take(compareLength), ps, idx) }
+      .toDF("prefix", "preds", "line_no")
+      .groupBy(col("prefix"))
+      .agg(org.apache.spark.sql.functions.max_by(col("preds"), col("line_no")).as("preds"))
       .as[(String, Seq[PredSpan])]
     val keyedDocs = docs.map(d => (d.text.take(compareLength), d))
     keyedDocs

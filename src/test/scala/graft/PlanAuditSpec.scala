@@ -63,6 +63,39 @@ class PlanAuditSpec extends AnyFunSuite {
       "pair rows are shuffled after scoring")
   }
 
+  test("no forced broadcast hints on corpus-derived tables (linkers, target resolution)") {
+    // A broadcast() hint overrides autoBroadcastJoinThreshold; on tables
+    // that grow with the corpus (alias/link-freq/sitelink/title dims) it
+    // OOMs at web scale. These plans must leave the join strategy to AQE.
+    val pages = Synth.pages(spark, 30, 7L, 4)
+    val mentions = Mentions.fromPages(pages)
+    val linkFreq = graft.kb.KbBuild.linkFrequencies(pages)
+    val mostPop = graft.kb.KbBuild.mostPopularCandidates(linkFreq)
+    val plans = Seq(
+      graft.linker.BaselineLinker.linkMostPopular(mentions, mostPop),
+      graft.linker.BaselineLinker.linkByPrior(mentions, linkFreq),
+      graft.kb.KbBuild.resolveTargets(
+        graft.kb.KbBuild.hyperlinks(pages),
+        spark.createDataFrame(Seq(("T", "Q1"))).toDF("title", "qid"),
+        spark.createDataFrame(Seq(("A", "B"))).toDF("from_title", "to_title")))
+    plans.foreach { df =>
+      val lp = df.queryExecution.optimizedPlan.toString
+      assert(!lp.contains("strategy=broadcast"),
+        s"forced broadcast hint survives in corpus-table join plan:\n$lp")
+    }
+    // the blocking fused path may broadcast ONLY the oversized-key tail
+    // (filtered on block_size > maxBlock), never the full key table
+    val keyedPlan = Blocking.keyedWithAttrs(mentions, Blocking.Config())
+      .queryExecution.optimizedPlan.toString
+    if (keyedPlan.contains("strategy=broadcast")) {
+      assert(keyedPlan.contains("block_size"),
+        s"broadcast in fused blocking plan lacks the block_size guard:\n$keyedPlan")
+      assert("\\(block_size#?\\d* > 512\\)".r.findFirstIn(keyedPlan).isDefined ||
+        keyedPlan.contains("> 512"),
+        s"broadcast side is not filtered to the oversized-key tail:\n$keyedPlan")
+    }
+  }
+
   test("whole-stage codegen covers the quality-scoring column pipeline") {
     val df = graft.text.TextAnalysis.withQuality(
       spark.read.parquet(s"$dir/documents.parquet"), "text")

@@ -20,6 +20,29 @@ import graft.synth.Synth.splitmix64
   */
 object Dedup {
 
+  /** Skew cap for the banded self-joins (same discipline as
+    * er.Blocking): buckets larger than `maxBucket` are deterministically
+    * sub-bucketed by hash(id, bucket), bounding every task at
+    * ~maxBucket²/2 pairs even when boilerplate text creates a mega-bucket.
+    * Only the OVERSIZED buckets' sizes are broadcast (the skew tail —
+    * bounded regardless of corpus size). The sub-bucket hash is salted
+    * with the bucket key so each BAND splits independently: a true
+    * duplicate pair separated in one band's sub-buckets still collides in
+    * another band with probability 1-(1-1/nb)^(bands-1) — recall loss is
+    * negligible for banded schemes (and exactly zero when no bucket
+    * exceeds the cap). */
+  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = banded.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+    banded.join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("nb", coalesce(ceil(col("bsz") / lit(maxBucket)).cast("int"), lit(1)))
+      .withColumn("bucket",
+        when(col("nb") <= 1, col("bucket"))
+          .otherwise(concat(col("bucket"), lit("#"),
+            pmod(xxhash64(col("id"), col("bucket")), col("nb")))))
+      .drop("bsz", "nb")
+  }
+
   // ---------- exact ----------------------------------------------------------
 
   /** Exact dedup decision table: one row per distinct content hash with the
@@ -76,7 +99,8 @@ object Dedup {
       shingleK: Int = 5,
       nHashes: Int = 64,
       rowsPerBand: Int = 8,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = nHashes / rowsPerBand
@@ -85,12 +109,12 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, t) => (id, minhash(charShingles(t, shingleK), nHashes)) }
       .toDF("id", "sig")
-    val banded = sigs.select(
+    val banded = capBuckets(sigs.select(
       col("id"), col("sig"),
       explode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> " +
           s"concat(cast(b as string), ':', cast(xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) as string)))"))
-        .as("bucket"))
+        .as("bucket")), maxBucket)
     val l = banded.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("bucket"))
@@ -129,7 +153,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = maxHamming + 1
@@ -139,12 +164,17 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t.split(' ').toSeq)) }
       .toDF("id", "sim")
-    val banded = sigs.select(
+    // NOTE: sub-bucketing a simhash band can split a true <=maxHamming pair
+    // in that band; unlike minhash's independent bands, the pigeonhole
+    // guarantee is per-band, so the cap trades the exact-recall guarantee
+    // for bounded tasks ONLY on oversized buckets (identical-band floods,
+    // which are overwhelmingly true near-dup cliques anyway).
+    val banded = capBuckets(sigs.select(
       col("id"), col("sim"),
       explode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> " +
           s"concat(cast(b as string), ':', cast((sim div shiftleft(1L, b * $width)) % shiftleft(1L, $width) as string)))"))
-        .as("bucket"))
+        .as("bucket")), maxBucket)
     val l = banded.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = banded.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("bucket"))
@@ -175,7 +205,8 @@ object Dedup {
       minCosine: Double = 0.9,
       nBits: Int = 16,
       bandBits: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
@@ -201,12 +232,12 @@ object Dedup {
       (id, v, sig)
     }.toDF("id", "v", "sig")
     val nBands = nBits / bandBits
-    val banded = signed.select(
+    val banded = capBuckets(signed.select(
       col("id"), col("v"),
       explode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> " +
           s"concat(cast(b as string), ':', cast((sig div shiftleft(1L, b * $bandBits)) % shiftleft(1L, $bandBits) as string)))"))
-        .as("bucket"))
+        .as("bucket")), maxBucket)
     val l = banded.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = banded.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("bucket"))

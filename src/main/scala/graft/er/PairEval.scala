@@ -48,17 +48,26 @@ object PairEval {
       spark: SparkSession,
       mentions: Dataset[Mention],
       blockCfg: Blocking.Config = Blocking.Config(),
-      scoreCfg: Scoring.Config = Scoring.Config()): (DataFrame, DataFrame, PairwiseEval) = {
+      scoreCfg: Scoring.Config = Scoring.Config(),
+      pairStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, DataFrame, PairwiseEval) = {
     import spark.implicits._
     // fused scale path: one co-partitioning shuffle, scoring map-side;
     // the labeled-pair universe is deduplicated (duplicate rows are
     // bit-identical across block keys, so the drop is deterministic).
     // Only the eval-relevant columns go through the dedupe shuffle.
+    // The pair universe is read twice (edges + eval join); its persistence
+    // is CONFIGURABLE because at web scale (10^12 pairs) a memory cache is
+    // a spill storm — callers pick DISK_ONLY (sequential spill, no GC
+    // churn) or NONE (recompute the fused stage, often cheaper than
+    // spilling) for the biggest runs.
     val keyed = Blocking.keyedWithAttrs(mentions, blockCfg)
-    val scored = Scoring.scoreFused(keyed, scoreCfg)
+    val scored0 = Scoring.scoreFused(keyed, scoreCfg)
       .select("a", "b", "gold_a", "gold_b", "is_match")
       .dropDuplicates("a", "b")
-      .cache()
+    val scored =
+      if (pairStorage == org.apache.spark.storage.StorageLevel.NONE) scored0
+      else scored0.persist(pairStorage)
     val edges = scored.where(col("is_match")).select(col("a"), col("b"))
     val ids = mentions.select(col("mention_id").as("id"))
     val clusters = Clustering.assign(spark, ids, edges).cache()

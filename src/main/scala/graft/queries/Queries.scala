@@ -255,6 +255,13 @@ object Queries {
   // Q15 — within-bucket exact token-Jaccard near-duplicate pairs
   // (training-data dedup, n-gram/token tier; the blocked self-join is the
   // same shape as ER pair scoring, SURVEY J8).
+  //
+  // ORACLE-ONLY: blocks on (lang, source) — ~100 distinct keys — so block
+  // size grows linearly with the corpus and the pair count quadratically.
+  // This query exists to pin exact-Jaccard semantics against DuckDB at
+  // bench scale; the production tier for real corpora is
+  // Dedup.minhashPairs (banded LSH, bounded buckets). Never point this at
+  // the full corpus.
   def q15JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"),

@@ -22,24 +22,94 @@ import graft.dedup.Dedup
 object Ann {
 
   /** Exact top-k cosine neighbors for each query id (excluding self).
-    * queries: subset of the corpus (same schema). */
+    * queries: subset of the corpus (same schema, small by contract — it is
+    * broadcast).
+    *
+    * Scale shape: the v1 implementation scored corpus×queries and shuffled
+    * ALL N×Q rows by query_id for a row_number window — a pair-scale
+    * exchange that dies at 100 TB. This version accumulates a bounded
+    * top-k heap PER QUERY inside each corpus partition (mapPartitions, no
+    * shuffle of the scored set) and merges only partitions×Q×k candidate
+    * rows — shuffle volume independent of corpus size. Output is
+    * bit-identical to the windowed version: per-partition top-k under the
+    * total order (cosine desc, nbr_id asc) composes to the global top-k. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
-    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("nbr_id") =!= col("query_id"))
-      .withColumn("cosine", Dedup.cosineCol(col("qv"), col("cv")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(qRows)
+
+    // worst-on-top ordering for a bounded min-heap under the total order
+    // "better = (cosine desc, nbr_id asc)"
+    val worstFirst: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2) // lower cosine = worse = ranks higher
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1) // larger id = worse
+      }
+    }
+
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Long, Double)]()(worstFirst))
+        it.foreach { case (nbrId, cvSeq) =>
+          val cv = cvSeq.toArray
+          var qi = 0
+          while (qi < qs.length) {
+            val (queryId, qv) = qs(qi)
+            if (nbrId != queryId) {
+              val cos = cosine(qv, cv)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((nbrId, cos))
+              else {
+                val (wId, wCos) = h.head
+                if (cos > wCos || (cos == wCos && nbrId < wId)) {
+                  h.dequeue(); h.enqueue((nbrId, cos))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (nbrId, cos) => (qs(qi)._1, nbrId, cos) }
+        }
+      }
+      .toDF("query_id", "nbr_id", "cosine")
+
+    // merge: only partitions × Q × k rows reach this exchange
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored
+    partial
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
+  }
+
+  /** Same operation order as functions.CosineExpr.cosine (bit-identical
+    * doubles): fused dot+norms over the common prefix, tails in the norms. */
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { val x = a(i); val y = b(i); dot += x * y; na += x * x; nb += y * y; i += 1 }
+    var j = n
+    while (j < a.length) { val x = a(j); na += x * x; j += 1 }
+    j = n
+    while (j < b.length) { val y = b(j); nb += y * y; j += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** LSH-bucketed ANN: candidates = corpus rows sharing at least one

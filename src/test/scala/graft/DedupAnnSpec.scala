@@ -98,6 +98,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(all.forall(_.getDouble(2) >= 0.98))
   }
 
+  test("dedup bucket cap bounds mega-bucket tasks without losing planted near-dup recall") {
+    // mega-bucket: 400 docs sharing identical boilerplate text -> every
+    // minhash band is one bucket of 400; cap at 50 forces sub-bucketing
+    val boiler = (0 until 400).map(i => (5000L + i, "the same boilerplate text repeated for every page in this crawl"))
+    val d = docs(80).union(boiler.toDF("doc_id", "text"))
+    val capped = Dedup.minhashPairs(d, "doc_id", "text", shingleK = 5, nHashes = 64,
+      rowsPerBand = 8, minJaccard = 0.5, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted near-dups (id, id+1000) from docs() must all still be found —
+    // their buckets are small and untouched by the cap
+    val planted = (0 until 20).map(i => (i.toLong, i + 1000L))
+    planted.foreach { p => assert(capped.contains(p), s"planted near-dup $p lost") }
+    // and the boilerplate clique is still (partially) detected inside
+    // sub-buckets: every found boiler pair is a true duplicate
+    val boilerPairs = capped.filter(_._1 >= 5000L)
+    assert(boilerPairs.nonEmpty, "mega-bucket pairs entirely lost")
+    // bounded tasks: no sub-bucket may exceed the cap (checked via the
+    // capped blocking relation is internal; assert indirectly — pair count
+    // per boiler doc is far below the uncapped 399)
+    val maxDeg = boilerPairs.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map(_._2.size).max
+    assert(maxDeg < 400, s"cap had no effect (degree $maxDeg)")
+  }
+
   test("ANN brute-force top-k matches in-JVM exact computation") {
     val rng = new scala.util.Random(5)
     val vecs = (0 until 50).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian()))).toArray
@@ -119,6 +143,33 @@ class DedupAnnSpec extends AnyFunSuite {
         .map { case ((id, _), r) => (q.toLong, r + 1, id) }
     }.sorted
     assert(got.toSeq == want)
+  }
+
+  test("ANN brute-force per-partition top-k equals the windowed cross-join plan (ties, any partitioning)") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(21)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(8)(rng.nextGaussian())))
+    // planted duplicate vectors -> exact cosine ties, exercising the
+    // (cosine desc, nbr_id asc) tie-break inside the heap
+    val dups = (0 until 12).map(i => (1000L + i, base(i % 6)._2.clone()))
+    val df = (base ++ dups).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding").repartition(7)
+    val queries = df.where(col("vec_id") < 6)
+    val got = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    // the v1 windowed plan, inline, as the semantics oracle
+    val c = df.select(col("vec_id").cast("long").as("nbr_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
+    val want = c.crossJoin(broadcast(q))
+      .where(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", Dedup.cosineCol(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 4)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(got.toSeq == want.toSeq)
   }
 
   test("ANN LSH top-k achieves reasonable recall vs brute force") {

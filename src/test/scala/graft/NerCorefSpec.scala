@@ -72,6 +72,75 @@ class NerCorefSpec extends AnyFunSuite {
     assert(corefs.collect().forall(c => c.surface == "He" || c.surface == "he"))
   }
 
+  test("typed coref tier: gender agreement, distance caps, nominal type references") {
+    import spark.implicits._
+    val filler = "x " * 120 // 240 chars > both distance caps
+    val text =
+      "Marie Curie met Albert Einstein in Paris . " + // mentions at fixed offsets
+        "She won two Nobel prizes . He admired her . " +
+        "Berlin is large . The city grew fast . " +
+        filler +
+        "They stayed ."
+    def page(u: String) = graft.model.Page(u, new java.sql.Timestamp(0L),
+      Array.empty[Byte], text, "en")
+    val pages = Seq(page("u1")).toDS()
+    val mc = (0, 11, "Q7186", "FEMALE", Seq.empty[String])      // Marie Curie
+    val ae = (16, 31, "Q937", "MALE", Seq.empty[String])         // Albert Einstein
+    val paris = (35, 40, "Q90", "NEUTRAL", Seq("capital"))
+    val berlin = (text.indexOf("Berlin"), text.indexOf("Berlin") + 6, "Q64", "NEUTRAL", Seq("city"))
+    val linked = Seq(mc, ae, paris, berlin)
+      .map { case (b, e, id, g, ts) => ("u1", b, e, id, g, ts) }
+      .toDF("url", "begin", "end", "entity_id", "gender", "type_aliases")
+    val got = CorefLinker.resolveTyped(pages, linked).collect()
+      .map(c => (c.surface, c.entity_id, c.begin)).sortBy(_._3)
+
+    // "She" -> Marie Curie (FEMALE), skipping nearer MALE/NEUTRAL entities
+    assert(got.exists { case (s, id, _) => s == "She" && id == "Q7186" })
+    // "He" -> Albert Einstein (MALE)
+    assert(got.exists { case (s, id, _) => s == "He" && id == "Q937" })
+    // "her" -> Marie Curie via the earlier "She" coref site re-binding
+    assert(got.exists { case (s, id, _) => s == "her" && id == "Q7186" })
+    // "The city" nominal -> Berlin via its type alias
+    assert(got.exists { case (s, id, _) => s == "The city" && id == "Q64" })
+    // "They" after 240 chars of filler: UNKNOWN gender matches anything but
+    // every antecedent is beyond the 200-char cap -> unresolved... except
+    // "They" has UNKNOWN gender and the reference only resolves pronouns
+    // with known gender or first-person-singular -> never resolved at all
+    assert(!got.exists(_._1 == "They"))
+  }
+
+  test("typed coref tier: pronoun beyond the distance cap stays unresolved") {
+    import spark.implicits._
+    val filler = "x " * 120
+    val text = "Albert Einstein lived . " + filler + "He returned ."
+    val pages = Seq(graft.model.Page("u2", new java.sql.Timestamp(0L),
+      Array.empty[Byte], text, "en")).toDS()
+    val linked = Seq(("u2", 0, 15, "Q937", "MALE", Seq.empty[String]))
+      .toDF("url", "begin", "end", "entity_id", "gender", "type_aliases")
+    assert(CorefLinker.resolveTyped(pages, linked).collect().isEmpty)
+    // same text within range resolves
+    val text2 = "Albert Einstein lived . He returned ."
+    val pages2 = Seq(graft.model.Page("u3", new java.sql.Timestamp(0L),
+      Array.empty[Byte], text2, "en")).toDS()
+    val linked2 = Seq(("u3", 0, 15, "Q937", "MALE", Seq.empty[String]))
+      .toDF("url", "begin", "end", "entity_id", "gender", "type_aliases")
+    val got2 = CorefLinker.resolveTyped(pages2, linked2).collect()
+    assert(got2.length == 1 && got2.head.entity_id == "Q937")
+  }
+
+  test("enrichLinked expands coref-type ids to lowercase alias words split on '/'") {
+    import spark.implicits._
+    val linked = Seq(("u", 0, 6, "Q64")).toDF("url", "begin", "end", "entity_id")
+    val genders = Seq(("Q64", "NEUTRAL")).toDF("entity_id", "gender")
+    val corefTypes = Seq(("Q64", Seq("Q515"))).toDF("entity_id", "types")
+    val aliases = Seq(("Q515", "City/Town"), ("Q515", "municipality"))
+      .toDF("entity_id", "alias")
+    val row = CorefLinker.enrichLinked(linked, genders, corefTypes, aliases)
+      .select("gender", "type_aliases").head()
+    assert(row.getString(0) == "NEUTRAL")
+    assert(row.getSeq[String](1).toSet == Set("city", "town", "municipality"))
+  }
+
   test("byte-identity still holds after the coref fixture change") {
     val nEnt = Synth.nEntities(100)
     (0L until 100L).foreach { p =>

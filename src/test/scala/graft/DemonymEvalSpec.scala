@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.{CaseLogic, ErrorLabeler}
+import graft.eval.CaseModel._
+import graft.sources.MappingTables
+
+/** End-to-end demonym evaluation path: a demonym TSV read by
+  * MappingTables.demonyms feeds ErrorMeta, and the resulting
+  * DISAMBIGUATION_DEMONYM_* labels match the EXECUTED reference
+  * (tools/gen_demonym_fixtures.py → golden/demonym_eval.json) —
+  * the round-1 gap where demonyms were only exercised via
+  * spec-constructed sets. */
+class DemonymEvalSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+
+  private val golden: ujsonLite.Value = {
+    val p = getClass.getResourceAsStream("/golden/demonym_eval.json")
+    ujsonLite.parse(new String(p.readAllBytes(), StandardCharsets.UTF_8))
+  }
+
+  private def fields(v: ujsonLite.Value): Map[String, ujsonLite.Value] =
+    v.node.properties().asScala.map(e => e.getKey -> ujsonLite.Value(e.getValue)).toMap
+
+  private def docFrom(line: ujsonLite.Value): EvalDoc = {
+    val text = line("text").str
+    val labels = line("labels").arr.map { l =>
+      GtLabel(
+        l("id").num.toInt, l("span").arr(0).num.toInt, l("span").arr(1).num.toInt,
+        l("entity_id").str,
+        if (l.node.has("name")) l("name").str else "Unknown",
+        if (l.node.has("parent") && !l("parent").isNull) Some(l("parent").num.toInt) else None,
+        Nil, optionalFlag = false,
+        if (l.node.has("type")) l("type").str.split('|').toSeq.filter(_.nonEmpty) else Nil,
+        None, desc = false)
+    }.toSeq
+    val preds =
+      if (!line.node.has("entity_mentions") || line("entity_mentions").isNull) Nil
+      else line("entity_mentions").arr.map { m =>
+        PredSpan(m("span").arr(0).num.toInt, m("span").arr(1).num.toInt, m("id").str,
+          if (m.node.has("candidates")) m("candidates").arr.map(_.str).toSeq else Nil,
+          if (m.node.has("linked_by")) m("linked_by").str else "")
+      }.toSeq
+    EvalDoc(line("title").str, text,
+      line("evaluation_span").arr(0).num.toInt, line("evaluation_span").arr(1).num.toInt,
+      labels, preds)
+  }
+
+  test("demonym file -> MappingTables.demonyms -> surface set matches the reference reader") {
+    val tsv = golden("demonym_tsv").str
+    val f = Files.createTempFile("demonyms", ".tsv")
+    Files.write(f, tsv.getBytes(StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+    val surfaces = MappingTables.demonyms(spark, f.toString)
+      .collect().map(_.getString(0)).toSet
+    val want = golden("demonym_surfaces").arr.map(_.str).toSet
+    assert(surfaces === want) // incl. auto-plurals (Germans, Americans, Frenchs)
+  }
+
+  test("demonym-populated eval reproduces DISAMBIGUATION_DEMONYM_* labels of the executed reference") {
+    val tsv = golden("demonym_tsv").str
+    val f = Files.createTempFile("demonyms", ".tsv")
+    Files.write(f, tsv.getBytes(StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+    // the engine path: TSV scan -> demonym surface set -> ErrorMeta
+    val surfaces = MappingTables.demonyms(spark, f.toString)
+      .collect().map(_.getString(0)).toSet
+    val typeDb = fields(golden("type_db")).map { case (k, v) => k -> v.arr.map(_.str).toSeq }
+    val names = fields(golden("names")).map { case (k, v) => k -> v.str }
+    val entityMeta = EntityMeta(typeDb, Set.empty, Set.empty, names)
+    val errMeta = ErrorLabeler.ErrorMeta(demonyms = surfaces, types = typeDb)
+
+    val articles = golden("articles").arr
+    val goldenCases = golden("cases").arr
+    var demonymLabelsChecked = 0
+    articles.zip(goldenCases).zipWithIndex.foreach { case ((art, gcs), docIdx) =>
+      val doc = docFrom(art)
+      val ours = CaseLogic.generateCases(doc, entityMeta, errMeta)
+        .map(c => (c.begin, c.end) -> c).toMap
+      assert(ours.size == gcs.arr.size, s"doc $docIdx case count")
+      gcs.arr.foreach { g =>
+        val span = (g("span").arr(0).num.toInt, g("span").arr(1).num.toInt)
+        val c = ours.getOrElse(span, fail(s"doc $docIdx: no case for $span"))
+        Seq("IGNORED" -> c.errorsIgnored, "REQUIRED" -> c.errorsRequired).foreach {
+          case (mode, oursLabels) =>
+            val want = g("error_labels")(mode).arr.map(_.str).toSet
+            assert(oursLabels.toSet === want,
+              s"doc $docIdx $span [$mode]: got=${oursLabels.toSet} want=$want")
+            demonymLabelsChecked += want.count(_.contains("DEMONYM"))
+        }
+      }
+    }
+    assert(demonymLabelsChecked >= 4, "fixture must exercise demonym labels in both modes")
+  }
+}

@@ -117,6 +117,141 @@ object PredictionReaders {
       .map { case (ps, i) => (i.toLong, ps) }.toDS()
   }
 
+  /** WEXEA markup-linked text → PredSpans with offsets in the
+    * RECONSTRUCTED text (markup stripped), wexea_prediction_reader.py:
+    * 23-57. Quirks kept: DISAMBIGUATION-typed links are skipped but still
+    * replaced in the text (offsets shift); `coref` selects only/none of
+    * the links whose type contains "coref"; an empty link target maps to
+    * NIL; duplicate spans overwrite (dict semantics). */
+  private val WexeaLinkRe = """\[\[([^\[]*?\|)?([^\[]*?)\|([^\[]*?[^\]])\]\]""".r
+
+  def parseWexeaFile(
+      content: String,
+      title2qid: Map[String, String],
+      coref: Boolean = false): Seq[PredSpan] = {
+    var textPos = 0
+    val text = new StringBuilder
+    var preds = Vector.empty[PredSpan]
+    WexeaLinkRe.findAllMatchIn(content).foreach { m =>
+      val target = Option(m.group(1)).map(_.replaceAll("^\\|+|\\|+$", "")).orNull
+      val linkText = m.group(2)
+      val linkType = m.group(3)
+      text.append(content.substring(textPos, m.start))
+      val begin = text.length
+      text.append(linkText)
+      val end = text.length
+      textPos = m.end
+      if (!linkType.startsWith("DISAMBIGUATION")) {
+        val entityId = QidMapper.getWikidataQid(if (target == null) "" else target, title2qid)
+        val isCoref = linkType.contains("coref")
+        if (coref == isCoref) {
+          preds = preds.filterNot(p => p.begin == begin && p.end == end) :+
+            PredSpan(begin, end, entityId, Seq(entityId), "WEXEA")
+        }
+      }
+    }
+    preds
+  }
+
+  def wexeaPredictions(
+      spark: SparkSession,
+      dir: String,
+      title2qid: Map[String, String] = Map.empty,
+      coref: Boolean = false): Dataset[(Long, Seq[PredSpan])] = {
+    import spark.implicits._
+    val t2q = spark.sparkContext.broadcast(title2qid)
+    spark.sparkContext.wholeTextFiles(dir)
+      .sortBy(_._1)
+      .zipWithIndex()
+      .map { case ((_, c), idx) => (idx, parseWexeaFile(c, t2q.value, coref)) }
+      .toDS()
+  }
+
+  /** Wikifier XML results (wikifier_prediction_reader.py:16-103). Quirks
+    * kept: titles with encoding-error "?" chars are repaired via the
+    * Wikipedia page id UNLESS the id is the buggy 3658264 or unknown; the
+    * KB is forced to WIKIPEDIA for the QID mapping (no Q-prefix
+    * shortcut); every CANDIDATE title is repaired with the TOP
+    * prediction's page id (the reference's copy-paste bug, preserved);
+    * unknown candidates are dropped from the candidate set. */
+  def parseWikifierFile(
+      content: String,
+      wid2title: Map[Long, String],
+      title2qid: Map[String, String]): Seq[PredSpan] = {
+    def correctTitle(title: String, wid: Long): String = {
+      val byId = wid2title.get(wid).orNull
+      if (title != byId && title.contains("?")) {
+        if (wid != 3658264L && byId != null) byId else title
+      } else title
+    }
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    def firstText(el: org.w3c.dom.Element, tag: String): String = {
+      val ns = el.getElementsByTagName(tag)
+      if (ns.getLength == 0) null else ns.item(0).getTextContent
+    }
+    val entities = doc.getElementsByTagName("Entity")
+    var preds = Vector.empty[PredSpan]
+    var i = 0
+    while (i < entities.getLength) {
+      val el = entities.item(i).asInstanceOf[org.w3c.dom.Element]
+      val begin = firstText(el, "EntityTextStart").trim.toInt
+      val end = firstText(el, "EntityTextEnd").trim.toInt
+      val top = el.getElementsByTagName("TopDisambiguation").item(0).asInstanceOf[org.w3c.dom.Element]
+      val topWid = firstText(top, "WikiTitleID").trim.toLong
+      val topTitle = correctTitle(firstText(top, "WikiTitle").replace("_", " "), topWid)
+      val entityId = qidForWikipediaTitle(topTitle, title2qid)
+      val cands = Seq.newBuilder[String]
+      val candNodes = el.getElementsByTagName("Candidate")
+      var c = 0
+      while (c < candNodes.getLength) {
+        val cel = candNodes.item(c).asInstanceOf[org.w3c.dom.Element]
+        // reference bug kept: candidates are repaired with the TOP id
+        val candTitle = correctTitle(firstText(cel, "WikiTitle").replace("_", " "), topWid)
+        val candId = qidForWikipediaTitle(candTitle, title2qid)
+        if (!isUnknownEntity(candId)) cands += candId
+        c += 1
+      }
+      preds = preds.filterNot(p => p.begin == begin && p.end == end) :+
+        PredSpan(begin, end, entityId, cands.result().distinct.sorted, "WIKIFIER")
+      i += 1
+    }
+    preds
+  }
+
+  /** get_wikidata_qid with kb_name FORCED to WIKIPEDIA
+    * (knowledge_base_mapper.py:57-121, else-branch only: no Q-prefix
+    * shortcut; a title containing '/' keeps only its last segment,
+    * exactly like the reference's rfind). */
+  def qidForWikipediaTitle(title: String, title2qid: Map[String, String]): String = {
+    if (title == null || title.isEmpty) return NIL
+    if (Set("NIL", "<NIL>", "<unk_wid>", "<unk>", "<UNK>").contains(title)) return NIL
+    val name0 = title.substring(title.lastIndexOf('/') + 1)
+    if (name0.isEmpty) return NIL
+    var name = if (name0 != title) graft.text.Extract.unquote(name0) else name0
+    name = name.replace('_', ' ')
+    name = name.filter(ch => !Character.isISOControl(ch) &&
+      Character.getType(ch) != Character.FORMAT &&
+      Character.getType(ch) != Character.LINE_SEPARATOR &&
+      Character.getType(ch) != Character.PARAGRAPH_SEPARATOR)
+    title2qid.getOrElse(name, NO_MAPPING)
+  }
+
+  def wikifierPredictions(
+      spark: SparkSession,
+      dir: String,
+      wid2title: Map[Long, String] = Map.empty,
+      title2qid: Map[String, String] = Map.empty): Dataset[(Long, Seq[PredSpan])] = {
+    import spark.implicits._
+    val w2t = spark.sparkContext.broadcast(wid2title)
+    val t2q = spark.sparkContext.broadcast(title2qid)
+    spark.sparkContext.wholeTextFiles(dir + "/*.full.xml")
+      .sortBy(_._1)
+      .zipWithIndex()
+      .map { case ((_, c), idx) => (idx, parseWikifierFile(c, w2t.value, t2q.value)) }
+      .toDS()
+  }
+
   /** NIF predictions: contexts sorted by URI, phrases by beginIndex →
     * (article text, predictions) pairs for the text-prefix attach
     * (nif_prediction_reader.py:21-49). */

@@ -69,6 +69,41 @@ class PredictionReadersSpec extends AnyFunSuite {
     assert(got.length === 3 && got.forall(_.isEmpty))
   }
 
+  test("wexea reader matches the executed reference (reconstructed offsets, coref split)") {
+    val files = fields(golden("wexea")("files"))
+    val dir = Files.createTempDirectory("wexea")
+    files.foreach { case (n, c) =>
+      Files.write(dir.resolve(n), c.str.getBytes(StandardCharsets.UTF_8))
+    }
+    val got = PredictionReaders.wexeaPredictions(spark, dir.toString, Title2Qid)
+      .collect().sortBy(_._1).map(x => comparable(x._2)).toSeq
+    assert(got === wantArticles("wexea"))
+    val gotCoref = PredictionReaders.wexeaPredictions(spark, dir.toString, Title2Qid, coref = true)
+      .collect().sortBy(_._1).map(x => comparable(x._2)).toSeq
+    assert(gotCoref === golden("wexea")("coref_articles").arr.map(_.arr.map { p =>
+      (p("begin").num.toInt, p("end").num.toInt,
+        if (p("entity_id").isNull) NIL else p("entity_id").str,
+        p("candidates").arr.map(_.str).toSeq)
+    }.toSeq))
+  }
+
+  test("wikifier reader matches the executed reference (page-id title repair, forced-wikipedia mapping)") {
+    val dir = Files.createTempDirectory("wikifier")
+    Files.write(dir.resolve("doc1.full.xml"),
+      golden("wikifier")("xml").str.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("ignored.partial.xml"),
+      golden("wikifier")("xml").str.getBytes(StandardCharsets.UTF_8))
+    val wid2title = Map(101L -> "Albert Einstein", 102L -> "Ulm", 103L -> "Sao Paulo",
+      3658264L -> "Williams Lake Water Aerodrome")
+    val t2q = Title2Qid ++ Map("Rio de Janeiro" -> "Q8678", "Sao Paulo" -> "Q174")
+    val got = PredictionReaders.wikifierPredictions(spark, dir.toString, wid2title, t2q)
+      .collect().sortBy(_._1).map(x => comparable(x._2)).toSeq
+    assert(got.length === 1) // only *.full.xml files are read
+    assert(got === wantArticles("wikifier"))
+    // the '?'-repair path: S?o_Paulo repaired via page id 103 -> Q174
+    assert(got.head.exists(_._3 == "Q174"))
+  }
+
   test("NIF predictions attach to articles by text prefix") {
     import spark.implicits._
     val ttl =

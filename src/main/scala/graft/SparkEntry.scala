@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ErQueries, EvalQueries, Queries, Queries2, TrainingDataQueries}
+import graft.queries.{ErQueries, EvalQueries, Queries, Queries2, Queries3, TrainingDataQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,13 @@ object SparkEntry {
     "q21_ship_months" -> (Queries2.q21ShipMonths(_, _)),
     "q22_popular_parts" -> (Queries2.q22PopularParts(_, _)),
     "q23_top_docs" -> (Queries2.q23TopDocs(_, _)),
+    "q24_moving_sum" -> (Queries3.q24MovingSum(_, _)),
+    "q25_cube_orders" -> (Queries3.q25CubeOrders(_, _)),
+    "q26_order_gaps" -> (Queries3.q26OrderGaps(_, _)),
+    "q27_top_part_per_year" -> (Queries3.q27TopPartPerYear(_, _)),
+    "q28_brand_csv" -> (Queries3.q28BrandCsv(_, _)),
+    "q29_balance_quartiles" -> (Queries3.q29BalanceQuartiles(_, _)),
+    "q30_nation_customer_facets" -> (Queries3.q30NationCustomerFacets(_, _)),
     // ER pipeline over the synthetic pages table (rows-only checks)
     "er_extract" -> (ErQueries.erExtract(_, _)),
     "er_mentions" -> (ErQueries.erMentions(_, _)),
@@ -95,5 +102,12 @@ object SparkEntry {
     "q21_ship_months" -> Queries2.q21Sql,
     "q22_popular_parts" -> Queries2.q22Sql,
     "q23_top_docs" -> Queries2.q23Sql,
+    "q24_moving_sum" -> Queries3.q24Sql,
+    "q25_cube_orders" -> Queries3.q25Sql,
+    "q26_order_gaps" -> Queries3.q26Sql,
+    "q27_top_part_per_year" -> Queries3.q27Sql,
+    "q28_brand_csv" -> Queries3.q28Sql,
+    "q29_balance_quartiles" -> Queries3.q29Sql,
+    "q30_nation_customer_facets" -> Queries3.q30Sql,
   )
 }

@@ -96,6 +96,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN brute-force plan exchanges only the bounded per-partition top-k, never the scored set") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0 until 200).map(i => (i.toLong, Seq.fill(8)((i % 7).toDouble)))
+      .toDF("vec_id", "embedding").repartition(5)
+    val queries = df.where(col("vec_id") < 3)
+    val plan = graft.sim.Ann.bruteForceTopK(df, queries, "vec_id", "embedding", 4)
+      .queryExecution.executedPlan.toString
+    // the only exchange may carry the mapPartitions OUTPUT (partitions×Q×k
+    // rows) into the merge window — the corpus-side scan must feed
+    // mapPartitions directly with no exchange between them
+    val mapIdx = plan.indexOf("MapPartitions")
+    assert(mapIdx >= 0, s"expected a MapPartitions top-k stage:\n$plan")
+    assert(!plan.substring(mapIdx).contains("Exchange") ||
+      plan.indexOf("Exchange") < mapIdx,
+      s"scored set is exchanged below the top-k accumulation:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"too many exchanges in ANN brute-force plan ($exchanges):\n$plan")
+  }
+
   test("whole-stage codegen covers the quality-scoring column pipeline") {
     val df = graft.text.TextAnalysis.withQuality(
       spark.read.parquet(s"$dir/documents.parquet"), "text")

@@ -141,6 +141,48 @@ class NerCorefSpec extends AnyFunSuite {
     assert(row.getSeq[String](1).toSet == Set("city", "town", "municipality"))
   }
 
+  test("popular-entities lowercase pass: trie walk, singular fallback, consume quirks") {
+    import graft.linker.PopularEntitiesLinker.{lowercaseDetections, LowercaseDetection}
+    val trie = new java.util.TreeMap[String, String]()
+    trie.put("black hole", "Q589")
+    trie.put("black hole thermodynamics", "Q2248279")
+    trie.put("neutron star", "Q4202")
+    trie.put("boring", "Q999")      // type OTHER -> filtered but consumed
+    val sitelinks = Map("Q589" -> 100L, "Q2248279" -> 5L, "Q4202" -> 80L, "Q999" -> 50L)
+    val types = Map("Q589" -> Seq("Q27096213"), "Q2248279" -> Seq("Q27096213"),
+      "Q4202" -> Seq("Q27096213"), "Q999" -> Seq("OTHER"))
+
+    // longest match wins where the full extension is in the trie
+    val t1 = "a black hole thermodynamics paper"
+    val d1 = lowercaseDetections(t1, trie, Nil, sitelinks, types)
+    assert(d1 === Seq(LowercaseDetection(2, 27, "Q2248279")))
+
+    // backtracking: extension leaves the trie -> fall back to last hit;
+    // singular-form fallback: "neutron stars" matches the stem
+    val t2 = "the black hole evaporated near neutron stars again"
+    val d2 = lowercaseDetections(t2, trie, Nil, sitelinks, types)
+    assert(d2.contains(LowercaseDetection(4, 14, "Q589")))
+    assert(d2.exists(d => d.entity_id == "Q4202" &&
+      t2.substring(d.begin, d.end) == "neutron stars"))
+
+    // overlap with an already-linked span suppresses the detection
+    val d3 = lowercaseDetections(t2, trie, Seq((4, 14)), sitelinks, types)
+    assert(!d3.exists(_.entity_id == "Q589"))
+
+    // OTHER-typed entities are filtered but still consume their span
+    val t4 = "boring boring text"
+    val d4 = lowercaseDetections(t4, trie, Nil, sitelinks, types)
+    assert(d4.isEmpty)
+
+    // sitelink threshold
+    val d5 = lowercaseDetections(t1, trie, Nil, sitelinks, types, minScore = 10L)
+    assert(d5.isEmpty) // Q2248279 has only 5 sitelinks
+
+    // capitalized tokens and stopword-initial snippets are skipped
+    val d6 = lowercaseDetections("Black Hole is the name", trie, Nil, sitelinks, types)
+    assert(d6.isEmpty)
+  }
+
   test("byte-identity still holds after the coref fixture change") {
     val nEnt = Synth.nEntities(100)
     (0L until 100L).foreach { p =>

@@ -126,6 +126,34 @@ object KbBuild {
       .drop("t_direct", "r_from", "r_to", "t_redir")
   }
 
+  /** Acronym extraction (scripts/extract_akronyms.py:12-35): a hyperlink
+    * followed within 10 chars by " (CAPS)..." yields acronym → target,
+    * kept when 2 < len(acronym) <= word count of the link text (the
+    * reference tokenizes with [\w']+). One narrow flatMap + one groupBy. */
+  def extractAcronyms(pages: Dataset[Page]): DataFrame = {
+    import pages.sparkSession.implicits._
+    val AcronymRe = """ \(([A-Z]+)\).*""".r
+    val WordRe = """[\w']+""".r
+    pages.flatMap { p =>
+      val ex = Extract.processExtractorText(new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+      val text = ex.text
+      ex.hyperlinks.flatMap { h =>
+        val after = text.substring(h.end, math.min(text.length, h.end + 10))
+        AcronymRe.findPrefixMatchOf(after) match { // re.match = anchored prefix
+          case Some(m) =>
+            val acronym = m.group(1)
+            val linkWords = WordRe.findAllIn(text.substring(h.begin, h.end)).length
+            if (acronym.length > 2 && acronym.length <= linkWords)
+              Some((acronym, h.target))
+            else None
+          case None => None
+        }
+      }
+    }.toDF("acronym", "target")
+      .groupBy(col("acronym"))
+      .agg(sort_array(collect_set(col("target"))).as("targets"))
+  }
+
   /** U1 — alias candidate table: union of the name / family-name /
     * link-text sources with provenance (entity_database.py:264-274). */
   def aliasTable(entities: DataFrame, linkFreq: DataFrame): DataFrame = {

@@ -54,4 +54,33 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
   }
+
+  final case class DedupDecision(content_hash: String, doc_id: Long, is_first: Boolean, seen_count: Long)
+
+  /** Streaming EXACT DEDUP with custom state (flatMapGroupsWithState):
+    * each content hash keeps (first doc id, seen count) in the state
+    * store; every arriving doc emits a decision row — `is_first` marks
+    * the canonical survivor, duplicates carry the running count. The
+    * streaming twin of Dedup.exactGroups: keys partition the state across
+    * executors, so state size scales horizontally with distinct hashes. */
+  def streamingExactDedup(docs: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (hash: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) => {
+          var (firstId, count) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          val out = Seq.newBuilder[DedupDecision]
+          rows.foreach { case (_, docId) =>
+            count += 1
+            val isFirst = count == 1L
+            if (isFirst) firstId = docId
+            out += DedupDecision(hash, docId, isFirst, count)
+          }
+          state.update((firstId, count))
+          out.result().iterator
+        })
+      .toDF()
+  }
 }

@@ -36,6 +36,26 @@ class KbLinkerSpec extends AnyFunSuite {
     assert(check.count() == 0)
   }
 
+  test("acronym extraction: anchored ' (CAPS)' after a link, length bounds, set semantics") {
+    import spark.implicits._
+    val html =
+      """The <a href="German_People's_Party">German People's Party</a> (DVP) was a party.
+        |Then <a href="Democratic_Volks_Party">Democratic Volks Party</a> (DVP) merged.
+        |But <a href="Texas">Texas</a> (USA) must be dropped - acronym longer than the link words.
+        |And <a href="Alberta">Alberta</a> (AB) is too short. Inline
+        |<a href="North_Atlantic_Treaty_Organization">North Atlantic Treaty Organization</a> (NATO) works.
+        |Far <a href="France">France</a> x (FRA) is not anchored at the link end.""".stripMargin
+    val docs = Seq(graft.model.Page("u1", new java.sql.Timestamp(0L),
+      html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "", "en")).toDS()
+    val got = KbBuild.extractAcronyms(docs)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got.get("DVP") === Some(List("Democratic_Volks_Party", "German_People's_Party")))
+    assert(got.get("NATO") === Some(List("North_Atlantic_Treaty_Organization")))
+    assert(!got.contains("USA")) // 3 > 1 link word
+    assert(!got.contains("AB"))  // len <= 2
+    assert(!got.contains("FRA")) // not anchored immediately after the link
+  }
+
   test("A3 unigram counts cover the synthetic vocabulary") {
     val ug = KbBuild.unigramCounts(pages)
     assert(ug.where(col("token").startsWith("tok")).count() > 100)

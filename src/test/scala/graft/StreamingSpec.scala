@@ -49,6 +49,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+
+  test("stateful streaming exact dedup: first-seen survivor, running counts across triggers") {
+    import spark.implicits._
+    val docsDir = Files.createTempDirectory("dedup_stream").toString
+    // trigger 1: h1 twice (ids 10, 11), h2 once (id 20)
+    Seq(("h1", 10L), ("h1", 11L), ("h2", 20L)).toDF("content_hash", "doc_id")
+      .write.mode("append").parquet(docsDir)
+    val input = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content_hash", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+      .as[(String, Long)]
+    val q = Streaming.streamingExactDedup(input)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // trigger 2: h1 again (id 12) -> duplicate with count continuing via state
+      Seq(("h1", 12L)).toDF("content_hash", "doc_id").write.mode("append").parquet(docsDir)
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSet
+      assert(rows.contains(("h2", 20L, true, 1L)))
+      // h1: exactly one is_first across ALL triggers; the late arrival sees count 3
+      val h1 = rows.filter(_._1 == "h1")
+      assert(h1.count(_._3) == 1, s"exactly one first-seen for h1: $h1")
+      assert(h1.exists(r => r._2 == 12L && !r._3 && r._4 == 3L),
+        s"state did not persist across triggers: $h1")
+    } finally q.stop()
+  }
+
   test("watermarked window aggregation over the events table") {
     // the file source needs a directory; restage the single-file table
     val eventsDir = Files.createTempDirectory("events_stream").toString

@@ -23,16 +23,49 @@ class GoldenParitySpec extends AnyFunSuite {
       all("precision").num, all("recall").num, all("f1").num)
   }
 
-  private def ours(linkedPath: String): Evaluation.F1 = {
+  /** KB attributes of PREDICTED entities (quantity/datetime class + name),
+    * reconstructed from the shipped eval_cases' `predicted_entity`
+    * records. This is the subset of the reference's (unshipped) Wikidata
+    * KB that the pair actually touched — KB INPUT data, not answers: the
+    * eval types/counters are still computed entirely by our evaluator.
+    * Without it, a system predicting year entities (e.g. grasp's Q2650 =
+    * "1965") on DATETIME ground truths diverges, because
+    * is_true_quantity_or_datetime needs the prediction's KB class. */
+  private def metaFromEvalCases(path: String): EntityMeta = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) return EntityMeta.empty
+    val datetimes = Set.newBuilder[String]
+    val quantities = Set.newBuilder[String]
+    val names = Map.newBuilder[String, String]
+    scala.io.Source.fromFile(path, "UTF-8").getLines().foreach { line =>
+      ujsonLite.parse(line).arr.foreach { c =>
+        if (c.node.has("predicted_entity") && !c("predicted_entity").isNull) {
+          val pe = c("predicted_entity")
+          val id = pe("entity_id").str
+          if (pe.node.has("type") && !pe("type").isNull) {
+            pe("type").str match {
+              case "DATETIME" => datetimes += id
+              case "QUANTITY" => quantities += id
+              case _ => ()
+            }
+          }
+          if (pe.node.has("name") && !pe("name").isNull && pe("name").str != "Unknown")
+            names += id -> pe("name").str
+        }
+      }
+    }
+    EntityMeta(Map.empty, quantities.result(), datetimes.result(), names.result())
+  }
+
+  private def ours(linkedPath: String, meta: EntityMeta = EntityMeta.empty): Evaluation.F1 = {
     val docs = BenchmarkReader.linkedArticles(spark, linkedPath)
-    val counts = Evaluation.counts(Evaluation.cases(docs, EntityMeta.empty), EntityMeta.empty)
+    val counts = Evaluation.counts(Evaluation.cases(docs, meta), meta)
     Evaluation.microF1(counts, "IGNORED")
   }
 
   private def checkParity(sys: String, bench: String, dir: String = null): Unit = {
     val d = if (dir == null) sys else dir
     val base = s"/root/reference/evaluation-results/$d/$sys.$bench"
-    val f = ours(s"$base.linked_articles.jsonl")
+    val f = ours(s"$base.linked_articles.jsonl", metaFromEvalCases(s"$base.eval_cases.jsonl"))
     val (tp, fp, fn, p, r, f1) = golden(s"$base.eval_results.json")
     info(f"$sys/$bench: ours tp=${f.tp} fp=${f.fp} fn=${f.fn} F1=${f.f1}%.4f " +
       f"| golden tp=$tp fp=$fp fn=$fn F1=$f1%.4f")
@@ -99,5 +132,25 @@ class GoldenParitySpec extends AnyFunSuite {
   }
   test("golden parity: baseline on rss-500 (NIL-heavy Derczynski-style)") {
     checkParity("baseline", "rss-500")
+  }
+  // round 2: widen to every shipped system family (each links differently,
+  // exercising distinct case-generation paths)
+  test("golden parity: ambiverse on aida-conll-test") {
+    checkParity("ambiverse", "aida-conll-test")
+  }
+  test("golden parity: dbpedia-spotlight on aida-conll-test") {
+    checkParity("dbpedia_spotlight", "aida-conll-test", dir = "dbpedia-spotlight")
+  }
+  test("golden parity: genre on aida-conll-test") {
+    checkParity("genre__yago_", "aida-conll-test", dir = "genre")
+  }
+  test("golden parity: neural-el on derczynski") {
+    checkParity("neural_el", "derczynski", dir = "neural_el")
+  }
+  test("golden parity: spel on aida-conll-dev") {
+    checkParity("spel__large_", "aida-conll-dev", dir = "spel")
+  }
+  test("golden parity: grasp on wiki-fair-v2-no-coref") {
+    checkParity("grasp_parallel", "wiki-fair-v2-no-coref", dir = "grasp")
   }
 }

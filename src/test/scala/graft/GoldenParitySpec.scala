@@ -94,8 +94,9 @@ class GoldenParitySpec extends AnyFunSuite {
         val (gotTp, gotFp, gotFn) = counts.getOrElse((mode, cat), (0L, 0L, 0L))
         // TP/FN bucket assignment uses GT label names (shipped in the file)
         // → exact. FP bucket assignment for false detections uses the
-        // PREDICTED entity's KB name (not shipped) → compared as the
-        // entity-rollup sum below instead of per bucket.
+        // PREDICTED entity's KB name (this pair ships no eval_cases to
+        // reconstruct it from) → compared as the entity-rollup sum below;
+        // the refined/wiki-fair-v2 test below has the exact per-bucket FP.
         assert(gotTp == g("true_positives").num.toLong, s"$mode/$cat TP")
         assert(gotFn == g("false_negatives").num.toLong, s"$mode/$cat FN")
         if (cat == "all" || cat.startsWith("coref"))
@@ -111,6 +112,31 @@ class GoldenParitySpec extends AnyFunSuite {
         g("false_negatives").num.toLong)
       val got = counts.getOrElse((mode, "ner"), (0L, 0L, 0L))
       assert(got == want, s"$mode/ner: got=$got want=$want")
+    }
+  }
+
+  test("golden parity, full bucket structure incl. per-bucket FP: refined on wiki-fair-v2") {
+    // this pair SHIPS eval_cases, so the predicted-entity KB names that
+    // drive FP bucket assignment (named vs non-named is the name's case)
+    // are reconstructable -> every bucket is exact in both modes
+    val base = "/root/reference/evaluation-results/refined/refined__aida_.wiki-fair-v2"
+    val docs = BenchmarkReader.linkedArticles(spark, s"$base.linked_articles.jsonl")
+    val meta = metaFromEvalCases(s"$base.eval_cases.jsonl")
+    val counts = Evaluation.counts(Evaluation.cases(docs, meta), meta)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val json = ujsonLite.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base.eval_results.json")), "UTF-8"))
+    Seq("IGNORED", "REQUIRED").foreach { mode =>
+      Seq("all", "coref", "entity_named", "entity_non_named", "entity_unknown",
+        "coref_nominal", "coref_pronominal").foreach { cat =>
+        val g = json(mode)("mention_types")(cat)
+        val (gotTp, gotFp, gotFn) = counts.getOrElse((mode, cat), (0L, 0L, 0L))
+        assert(gotTp == g("true_positives").num.toLong, s"$mode/$cat TP")
+        assert(gotFn == g("false_negatives").num.toLong, s"$mode/$cat FN")
+        assert(gotFp == g("false_positives").num.toLong,
+          s"$mode/$cat FP: got=$gotFp want=${g("false_positives").num.toLong}")
+      }
     }
   }
 

@@ -104,11 +104,18 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = nHashes / rowsPerBand
+    // persisted: the plan references the signature map 4 times (hot-bucket
+    // agg + both self-join sides + verification) and Spark does NOT reuse
+    // the exchange across them — without persist every reference
+    // re-shingles and re-hashes the whole corpus (measured: 4x
+    // SerializeFromObject scans). Signature rows are compact (id + 64
+    // longs), MEMORY_AND_DISK spills if not.
     val sigs = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) => (id, minhash(charShingles(t, shingleK), nHashes)) }
       .toDF("id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = capBuckets(sigs.select(
       col("id"), col("sig"),
       explode(expr(
@@ -148,7 +155,14 @@ object Dedup {
 
   /** Near-duplicate pairs with Hamming distance <= maxHamming, found by the
     * pigeonhole band trick: split 64 bits into (maxHamming + 1) bands — any
-    * pair within the radius agrees exactly on at least one band. */
+    * pair within the radius agrees exactly on at least one band.
+    *
+    * CONTRACT CAVEAT: the pigeonhole guarantee is exact only while no band
+    * bucket exceeds `maxBucket`. Oversized buckets (identical-band floods,
+    * overwhelmingly boilerplate/near-identical cliques) are sub-bucketed
+    * for bounded task sizes, which can split a pair whose ONLY agreeing
+    * band is the flooded one. Pass maxBucket = Int.MaxValue to restore the
+    * exhaustive (unbounded-task) behavior. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -164,6 +178,9 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t.split(' ').toSeq)) }
       .toDF("id", "sim")
+      // persisted: referenced 4x in the plan with no exchange reuse (see
+      // minhashPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // NOTE: sub-bucketing a simhash band can split a true <=maxHamming pair
     // in that band; unlike minhash's independent bands, the pigeonhole
     // guarantee is per-band, so the cap trades the exact-recall guarantee
@@ -231,6 +248,9 @@ object Dedup {
       }
       (id, v, sig)
     }.toDF("id", "v", "sig")
+      // persisted: referenced 4x in the plan with no exchange reuse (see
+      // minhashPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = nBits / bandBits
     val banded = capBuckets(signed.select(
       col("id"), col("v"),

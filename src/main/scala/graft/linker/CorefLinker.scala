@@ -165,8 +165,10 @@ object CorefLinker {
     }
 
     DictionaryNer.tokenSpans(text).foreach { case (tb, te) =>
-      // admit linked mentions up to this token (ref :232: tok.idx >= span[0])
-      while (mIdx < mentions.length && tb >= mentions(mIdx).begin) {
+      // admit AT MOST ONE linked mention per token (ref :231-232 uses `if`,
+      // not `while`: when two linked mentions begin between consecutive
+      // tokens, the second only joins the pool at the NEXT token)
+      if (mIdx < mentions.length && tb >= mentions(mIdx).begin) {
         pool += mentions(mIdx)
         seenTypes ++= mentions(mIdx).types
         mIdx += 1

@@ -93,8 +93,13 @@ object DatasetSplit {
       y.toLong & 0xFFFFFFFFL
     }
 
-    /** random.getrandbits(k) for 0 < k <= 32. */
-    def getrandbits(k: Int): Long = nextUInt32() >>> (32 - k)
+    /** random.getrandbits(k) for 0 < k <= 32. CPython concatenates words
+      * for k > 32; this port does not — fail loudly rather than silently
+      * diverging (k > 32 needs collections beyond 2^31 elements). */
+    def getrandbits(k: Int): Long = {
+      require(k > 0 && k <= 32, s"getrandbits($k): only 1..32 supported")
+      nextUInt32() >>> (32 - k)
+    }
 
     /** random._randbelow(n) — rejection sampling. */
     def randbelow(n: Long): Long = {

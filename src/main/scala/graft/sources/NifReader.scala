@@ -217,15 +217,20 @@ object NifReader {
     def prop(subj: String, pred: String): Option[String] =
       bySubj.getOrElse(subj, Nil).find(_.pred == pred).map(_.obj)
 
+    // one pass grouping phrase subjects by their reference context — NOT a
+    // rescan of every subject per context (O(contexts × subjects) blowup
+    // on many-context files)
+    val phrasesByContext: Map[String, Seq[String]] = bySubj.keys.toSeq
+      .flatMap(s => prop(s, ReferenceContext).map(_ -> s))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
     val contexts = bySubj.keys.filter(s => prop(s, IsString).isDefined).toSeq.sorted
     contexts.flatMap { ctxUri =>
       val text = prop(ctxUri, IsString).get
       if (text.isEmpty) None // kore50 parent-context quirk
       else {
-        val phrases = bySubj.keys
-          .filter(s => prop(s, ReferenceContext).contains(ctxUri) &&
-            prop(s, BeginIndex).isDefined && prop(s, EndIndex).isDefined)
-          .toSeq
+        val phrases = phrasesByContext.getOrElse(ctxUri, Nil)
+          .filter(s => prop(s, BeginIndex).isDefined && prop(s, EndIndex).isDefined)
           .map { s =>
             (prop(s, BeginIndex).get.toInt, prop(s, EndIndex).get.toInt,
               prop(s, TaIdentRef).orNull)

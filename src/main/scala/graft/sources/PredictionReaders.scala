@@ -44,8 +44,10 @@ object PredictionReaders {
       val start = m.get("charOffset").asInt()
       val end = start + m.get("charLength").asInt()
       val ent = m.get("entity")
+      // the reference's `if match["entity"]` is Python truthiness: None AND
+      // the empty dict {} both mean NIL — an {} entity must not NPE here
       var entityId =
-        if (ent == null || ent.isNull) NIL
+        if (ent == null || ent.isNull || ent.get("id") == null || ent.get("id").isNull) NIL
         else {
           val raw = ent.get("id").asText()
           val id = raw.substring(raw.lastIndexOf('/') + 1)
@@ -80,8 +82,17 @@ object PredictionReaders {
     * skips the fill loop); entity = candidates[0] or NIL when empty. */
   def parseEpgel(inputContent: String, outputContent: String): Seq[Seq[PredSpan]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val inLines = inputContent.split("\n").filter(_.nonEmpty)
-    val outLines = outputContent.split("\n").filter(_.nonEmpty)
+    // Python readlines() semantics: blank INTERIOR lines count toward the
+    // length comparison (a one-sided blank line makes the counts differ →
+    // all-empty output, and a blank line reaching json parsing crashes the
+    // reference just like it would crash here). Only the trailing
+    // empty-after-final-newline artifact of split is dropped.
+    def pyLines(s: String): Array[String] = {
+      val parts = s.split("\n", -1)
+      if (parts.nonEmpty && parts.last.isEmpty) parts.init else parts
+    }
+    val inLines = pyLines(inputContent)
+    val outLines = pyLines(outputContent)
     if (inLines.isEmpty) return Nil
     val lastIdx = mapper.readTree(inLines.last).get("article_index").asInt()
     val perArticle = Array.fill(lastIdx + 1)(Vector.empty[PredSpan])
@@ -110,9 +121,14 @@ object PredictionReaders {
       inputPath: String): Dataset[(Long, Seq[PredSpan])] = {
     import spark.implicits._
     // both files are read whole (line pairing is positional); benchmark-
-    // scale inputs, one task
-    val inC = spark.sparkContext.wholeTextFiles(inputPath).map(_._2).collect().mkString
-    val outC = spark.sparkContext.wholeTextFiles(outputPath).map(_._2).collect().mkString
+    // scale inputs, one task. Multi-file paths concatenate in sorted-path
+    // order with a separating newline so the last line of one file never
+    // glues to the first line of the next.
+    def readWhole(path: String): String =
+      spark.sparkContext.wholeTextFiles(path).collect().sortBy(_._1)
+        .map(_._2.stripSuffix("\n")).mkString("\n")
+    val inC = readWhole(inputPath)
+    val outC = readWhole(outputPath)
     parseEpgel(inC, outC).zipWithIndex
       .map { case (ps, i) => (i.toLong, ps) }.toDS()
   }

@@ -55,14 +55,20 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
   }
 
-  final case class DedupDecision(content_hash: String, doc_id: Long, is_first: Boolean, seen_count: Long)
+  final case class DedupDecision(
+      content_hash: String, doc_id: Long, is_first: Boolean, seen_count: Long, survivor_id: Long)
 
   /** Streaming EXACT DEDUP with custom state (flatMapGroupsWithState):
-    * each content hash keeps (first doc id, seen count) in the state
+    * each content hash keeps (survivor doc id, seen count) in the state
     * store; every arriving doc emits a decision row — `is_first` marks
-    * the canonical survivor, duplicates carry the running count. The
-    * streaming twin of Dedup.exactGroups: keys partition the state across
-    * executors, so state size scales horizontally with distinct hashes. */
+    * the canonical survivor, duplicates carry the running count and the
+    * survivor id. The streaming twin of Dedup.exactGroups: keys partition
+    * the state across executors, so state scales with distinct hashes.
+    * Survivor semantics: the MIN doc id of the FIRST micro-batch in which
+    * the hash appears (rows within a batch carry no order guarantee, so
+    * they are sorted by id for determinism — matching exactGroups'
+    * keep-min rule batch-locally); later batches are duplicates by
+    * definition of event order. */
   def streamingExactDedup(docs: org.apache.spark.sql.Dataset[(String, Long)]): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -70,15 +76,15 @@ object Streaming {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (hash: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) => {
-          var (firstId, count) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          var (survivorId, count) = state.getOption.getOrElse((Long.MaxValue, 0L))
           val out = Seq.newBuilder[DedupDecision]
-          rows.foreach { case (_, docId) =>
+          rows.toSeq.sortBy(_._2).foreach { case (_, docId) =>
             count += 1
             val isFirst = count == 1L
-            if (isFirst) firstId = docId
-            out += DedupDecision(hash, docId, isFirst, count)
+            if (isFirst) survivorId = docId
+            out += DedupDecision(hash, docId, isFirst, count, survivorId)
           }
-          state.update((firstId, count))
+          state.update((survivorId, count))
           out.result().iterator
         })
       .toDF()

@@ -55,6 +55,7 @@ class StreamingSpec extends AnyFunSuite {
     val docsDir = Files.createTempDirectory("dedup_stream").toString
     // trigger 1: h1 twice (ids 10, 11), h2 once (id 20)
     Seq(("h1", 10L), ("h1", 11L), ("h2", 20L)).toDF("content_hash", "doc_id")
+      .coalesce(1) // ONE file -> one micro-batch (maxFilesPerTrigger=1)
       .write.mode("append").parquet(docsDir)
     val input = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -69,14 +70,18 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       // trigger 2: h1 again (id 12) -> duplicate with count continuing via state
-      Seq(("h1", 12L)).toDF("content_hash", "doc_id").write.mode("append").parquet(docsDir)
+      Seq(("h1", 12L)).toDF("content_hash", "doc_id").coalesce(1)
+        .write.mode("append").parquet(docsDir)
       q.processAllAvailable()
       val rows = spark.table("dedup_stream")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).toSet
-      assert(rows.contains(("h2", 20L, true, 1L)))
-      // h1: exactly one is_first across ALL triggers; the late arrival sees count 3
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4))).toSet
+      assert(rows.contains(("h2", 20L, true, 1L, 20L)))
+      // h1: exactly one is_first across ALL triggers — deterministically the
+      // MIN id of the first batch (10, not 11, whatever the partitioning)
       val h1 = rows.filter(_._1 == "h1")
       assert(h1.count(_._3) == 1, s"exactly one first-seen for h1: $h1")
+      assert(h1.exists(r => r._2 == 10L && r._3), s"survivor must be batch-min id 10: $h1")
+      assert(h1.forall(_._5 == 10L), s"all h1 rows must carry survivor_id 10: $h1")
       assert(h1.exists(r => r._2 == 12L && !r._3 && r._4 == 3L),
         s"state did not persist across triggers: $h1")
     } finally q.stop()

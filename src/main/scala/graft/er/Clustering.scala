@@ -74,7 +74,11 @@ object Clustering {
         .select(col("v").as("a"), col("m").as("b"))
         .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
         .distinct()
-        .localCheckpoint(true)
+        // LAZY checkpoint: the signature aggregation below is the action
+        // that materializes it — one job per round instead of two (the
+        // round count is diameter-bound, so per-round scheduler latency is
+        // the dominant cost on small graphs)
+        .localCheckpoint(false)
 
       // convergence: stable (count, xor-hash) signature of the edge set
       // (bit_xor, not sum: ANSI mode would overflow a sum of 64-bit hashes)

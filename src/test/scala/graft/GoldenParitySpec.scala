@@ -140,6 +140,76 @@ class GoldenParitySpec extends AnyFunSuite {
     }
   }
 
+  test("golden parity: KB-free error-category counters on refined/wiki-fair-v2") {
+    // factor-weighted error-label sums vs the shipped eval_results
+    // error_categories, for every counter that does not depend on the
+    // unshipped KB (demonym/metonymy/rare splits) or the spaCy word
+    // denominators (ner_fp all/lowercased/other)
+    val base = "/root/reference/evaluation-results/refined/refined__aida_.wiki-fair-v2"
+    val docs = BenchmarkReader.linkedArticles(spark, s"$base.linked_articles.jsonl")
+    val meta = metaFromEvalCases(s"$base.eval_cases.jsonl")
+    val cs = Evaluation.cases(docs, meta)
+    val errs = Evaluation.errorCounts(cs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val counts = Evaluation.counts(cs, meta)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val json = ujsonLite.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base.eval_results.json")), "UTF-8"))
+    def e(mode: String, l: String): Long = errs.getOrElse((mode, l), 0L)
+    var checked = 0
+    Seq("IGNORED", "REQUIRED").foreach { mode =>
+      val ec = json(mode)("error_categories")
+      def check(cat: ujsonLite.Value, key: String, errors: Long, total: Long): Unit = {
+        assert(cat(key)("errors").num.toLong == errors,
+          s"$mode/$key errors: got=$errors want=${cat(key)("errors").num.toLong}")
+        assert(cat(key)("total").num.toLong == total,
+          s"$mode/$key total: got=$total want=${cat(key)("total").num.toLong}")
+        checked += 2
+      }
+      val nf = ec("ner_fn")
+      Seq("all" -> ("NER_FN", "AVOIDED_NER_FN"),
+        "lowercased" -> ("NER_FN_LOWERCASED", "AVOIDED_NER_FN_LOWERCASED"),
+        "partially_included" -> ("NER_FN_PARTIALLY_INCLUDED", "AVOIDED_NER_FN_PARTIALLY_INCLUDED"),
+        "partial_overlap" -> ("NER_FN_PARTIAL_OVERLAP", "AVOIDED_NER_FN_PARTIAL_OVERLAP"),
+        "other" -> ("NER_FN_OTHER", "AVOIDED_NER_FN_OTHER")).foreach { case (k, (w, a)) =>
+        check(nf, k, e(mode, w), e(mode, w) + e(mode, a))
+      }
+      val np = ec("ner_fp")
+      check(np, "wrong_span", e(mode, "NER_FP_WRONG_SPAN"),
+        e(mode, "NER_FP_WRONG_SPAN") + e(mode, "AVOIDED_NER_FP_WRONG_SPAN"))
+      check(np, "groundtruth_unknown", e(mode, "NER_FP_GROUNDTRUTH_UNKNOWN"),
+        e(mode, "NER_FP_GROUNDTRUTH_UNKNOWN") + e(mode, "AVOIDED_NER_FP_GROUNDTRUTH_UNKNOWN"))
+      val wd = ec("wrong_disambiguation")
+      check(wd, "all", e(mode, "DISAMBIGUATION_WRONG"),
+        e(mode, "DISAMBIGUATION_WRONG") + e(mode, "DISAMBIGUATION_CORRECT"))
+      val wc = ec("wrong_coreference")
+      val corefGt = counts.getOrElse((mode, "coref"), (0L, 0L, 0L)) match {
+        case (tp, _, fn) => tp + fn
+      }
+      check(wc, "undetected", e(mode, "COREFERENCE_UNDETECTED"), corefGt)
+      check(wc, "wrong_mention_referenced", e(mode, "COREFERENCE_WRONG_MENTION_REFERENCED"),
+        corefGt - e(mode, "COREFERENCE_UNDETECTED"))
+      check(wc, "reference_wrongly_disambiguated",
+        e(mode, "COREFERENCE_REFERENCE_WRONGLY_DISAMBIGUATED"),
+        corefGt - e(mode, "COREFERENCE_UNDETECTED") - e(mode, "COREFERENCE_WRONG_MENTION_REFERENCED"))
+      // STALE-GOLDEN pin: the current reference code (executed via the
+      // tools/run_reference_labeler.py stubbing pattern) adds
+      // COREFERENCE_FALSE_DETECTION to the coref-nominal FD case
+      // 'the "Asparagus Revenue Market Loss Program' (doc 114, REQUIRED) —
+      // errors.py:label_coreference_errors fires on any coref ner-FP —
+      // while this pair's shipped eval_cases/eval_results predate that and
+      // carry 0. We match the EXECUTED reference: golden + 1 in REQUIRED.
+      val staleDelta = if (mode == "REQUIRED") 1L else 0L
+      assert(wc("false_detection").num.toLong + staleDelta ==
+        e(mode, "COREFERENCE_FALSE_DETECTION"),
+        s"$mode coref false_detection (incl. stale-golden delta $staleDelta)")
+      checked += 1
+    }
+    info(s"compared $checked KB-free error-category counters in both modes")
+    assert(checked >= 30)
+  }
+
   test("golden parity: oracle on kore50 (P=R=F1=1.0)") { checkParity("oracle", "kore50") }
   test("golden parity: baseline on kore50") { checkParity("baseline", "kore50") }
   test("golden parity: baseline on aida-conll-test (the headline baseline)") {

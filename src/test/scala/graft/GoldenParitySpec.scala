@@ -36,6 +36,7 @@ class GoldenParitySpec extends AnyFunSuite {
     val datetimes = Set.newBuilder[String]
     val quantities = Set.newBuilder[String]
     val names = Map.newBuilder[String, String]
+    val types = Map.newBuilder[String, Seq[String]]
     scala.io.Source.fromFile(path, "UTF-8").getLines().foreach { line =>
       ujsonLite.parse(line).arr.foreach { c =>
         if (c.node.has("predicted_entity") && !c("predicted_entity").isNull) {
@@ -45,7 +46,8 @@ class GoldenParitySpec extends AnyFunSuite {
             pe("type").str match {
               case "DATETIME" => datetimes += id
               case "QUANTITY" => quantities += id
-              case _ => ()
+              case "OTHER" => ()
+              case t => types += id -> t.split('|').toSeq // pipe-joined whitelist QIDs
             }
           }
           if (pe.node.has("name") && !pe("name").isNull && pe("name").str != "Unknown")
@@ -53,7 +55,7 @@ class GoldenParitySpec extends AnyFunSuite {
         }
       }
     }
-    EntityMeta(Map.empty, quantities.result(), datetimes.result(), names.result())
+    EntityMeta(types.result(), quantities.result(), datetimes.result(), names.result())
   }
 
   private def ours(linkedPath: String, meta: EntityMeta = EntityMeta.empty): Evaluation.F1 = {
@@ -136,6 +138,19 @@ class GoldenParitySpec extends AnyFunSuite {
         assert(gotFn == g("false_negatives").num.toLong, s"$mode/$cat FN")
         assert(gotFp == g("false_positives").num.toLong,
           s"$mode/$cat FP: got=$gotFp want=${g("false_positives").num.toLong}")
+      }
+      // per-entity-type counters: GT types ship in the benchmark labels;
+      // predicted-entity types (for the FP side) reconstructed from
+      // eval_cases — every per-type TP/FP/FN must match
+      import scala.jdk.CollectionConverters._
+      val et = json(mode)("entity_types")
+      et.node.properties().asScala.foreach { e =>
+        val (typeId, g) = (e.getKey, ujsonLite.Value(e.getValue))
+        val (gotTp, gotFp, gotFn) = counts.getOrElse((mode, s"type:$typeId"), (0L, 0L, 0L))
+        assert(gotTp == g("true_positives").num.toLong, s"$mode type $typeId TP")
+        assert(gotFp == g("false_positives").num.toLong,
+          s"$mode type $typeId FP: got=$gotFp want=${g("false_positives").num.toLong}")
+        assert(gotFn == g("false_negatives").num.toLong, s"$mode type $typeId FN")
       }
     }
   }

@@ -64,6 +64,7 @@ object SparkEntry {
     "dd_embedding_dups" -> (TrainingDataQueries.ddEmbeddingDups(_, _)),
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
     "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
+    "ann_ivf_topk" -> (TrainingDataQueries.annIvfTopk(_, _)),
     "ta_langid" -> (TrainingDataQueries.taLangid(_, _)),
     "ta_quality" -> (TrainingDataQueries.taQuality(_, _)),
     "ta_token_counts" -> (TrainingDataQueries.taTokenCounts(_, _)),

@@ -47,6 +47,12 @@ object TrainingDataQueries {
       nBits = 16, bandBits = 4).drop("cosine")
   }
 
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Ann.ivfTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+      nLists = 16, nProbe = 4).drop("cosine")
+  }
+
   def taLangid(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),

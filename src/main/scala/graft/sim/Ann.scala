@@ -19,7 +19,7 @@ import graft.dedup.Dedup
   *
   * Determinism: ties broken by ascending neighbor id everywhere.
   */
-object Ann {
+object Ann extends Serializable {
 
   /** Exact top-k cosine neighbors for each query id (excluding self).
     * queries: subset of the corpus (same schema, small by contract — it is
@@ -110,6 +110,99 @@ object Ann {
     j = n
     while (j < b.length) { val y = b(j); nb += y * y; j += 1 }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF (inverted-file) ANN: the corpus is partitioned into nLists
+    * Voronoi cells around trained centroids; a query scans only its
+    * nProbe nearest cells, with exact cosine re-rank inside them.
+    *
+    * Scale shape: training samples a deterministic subset (hash-ordered,
+    * no RNG) and runs `iters` Lloyd rounds as groupBy-average jobs;
+    * centroids broadcast (nLists × dim doubles — KBs to MBs); cell
+    * assignment is one map-side argmax per row; the query join shuffles
+    * by cell id, so per-query work is bounded by the probed cells'
+    * population, not the corpus. Determinism: sampling by splitmix64(id)
+    * order, ties in assignment and ranking broken by ascending id. */
+  def ivfTopK(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
+      trainSample: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).as[(Long, Seq[Double])]
+
+    // deterministic training sample: the trainSample smallest splitmix64(id)
+    val sample = base
+      .map { case (id, v) => (graft.synth.Synth.splitmix64(id), id, v.toArray) }
+      .toDF("h", "id", "v").orderBy(col("h"), col("id")).limit(trainSample)
+      .select(col("id"), col("v")).as[(Long, Array[Double])].collect()
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    var centroids: Array[Array[Double]] =
+      sample.take(math.min(nLists, sample.length)).map(_._2)
+
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestCos = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cosine(cs(i), v)
+        if (c > bestCos) { bestCos = c; best = i }
+        i += 1
+      }
+      best
+    }
+    // Lloyd rounds on the driver-side sample (bounded by trainSample)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
+      val cnt = new Array[Int](centroids.length)
+      sample.foreach { case (_, v) =>
+        val c = nearest(centroids, v)
+        var d = 0
+        while (d < v.length && d < sums(c).length) { sums(c)(d) += v(d); d += 1 }
+        cnt(c) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (cnt(c) == 0) centroids(c)
+        else sums(c).map(_ / cnt(c))
+      }.toArray
+      it += 1
+    }
+    val centB = spark.sparkContext.broadcast(centroids)
+
+    val assigned = base.map { case (id, v) =>
+      (nearest(centB.value, v.toArray), id, v)
+    }.toDF("cell", "nbr_id", "cv")
+
+    // queries probe their nProbe nearest cells
+    val probes = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")).as[(Long, Seq[Double])]
+      .flatMap { case (qid, qv) =>
+        val cs = centB.value
+        val arr = qv.toArray
+        cs.indices
+          .map(i => (i, cosine(cs(i), arr)))
+          .sortBy { case (i, c) => (-c, i) }
+          .take(nProbe)
+          .map { case (i, _) => (i, qid, qv) }
+      }.toDF("cell", "query_id", "qv")
+
+    val cand = probes.join(assigned, Seq("cell"))
+      .where(col("nbr_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "nbr_id")
+      .withColumn("cosine", Dedup.cosineCol(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
   }
 
   /** LSH-bucketed ANN: candidates = corpus rows sharing at least one

@@ -172,6 +172,29 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("ANN IVF top-k: good recall vs brute force, deterministic under repartitioning") {
+    val rng = new scala.util.Random(13)
+    val df = (0 until 400).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(spark, df, queries, "vec_id", "embedding", k = 5,
+      nLists = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"ANN IVF recall@5 = $recall%.2f (nProbe=6/16 cells scanned)")
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // determinism: identical output under a different partitioning
+    val ivf2 = Ann.ivfTopK(spark, df.repartition(13), queries, "vec_id", "embedding", k = 5,
+      nLists = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val ivf1 = Ann.ivfTopK(spark, df, queries, "vec_id", "embedding", k = 5,
+      nLists = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(ivf1 == ivf2, "IVF output must be partitioning-invariant")
+  }
+
   test("ANN LSH top-k achieves reasonable recall vs brute force") {
     val rng = new scala.util.Random(9)
     val df = (0 until 300).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))

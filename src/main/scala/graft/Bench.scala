@@ -152,17 +152,19 @@ object Bench {
     val coresPerExec = 2
     val coresLo = execLo * coresPerExec
     val coresHi = execHi * coresPerExec
-    // per level: run the identical job twice in ONE session and report the
-    // second — fresh executor JVMs pay codegen+JIT on their first pass, and
-    // a steady-state cluster (the thing N-vs-4N models) is warm
+    // per level: warm pass (codegen+JIT across fresh executor JVMs), then
+    // BEST-OF-3 measured passes — this box is a shared VM and single runs
+    // swing ±20% with neighbor load (observed identical-code efficiencies
+    // 0.79-1.0); the minimum time is the least-contended estimate of the
+    // engine's own cost at each level
     def measure(n: Int, withCc: Boolean): (Long, Double, Double) = {
       val s = clusterSession(n, coresPerExec)
       erJob(s, nPages / 4, withCc = false) // warm pass (codegen + JIT across executors)
       val r1 = erJob(s, nPages, withCc = false)
-      val r2 = erJob(s, nPages, withCc = withCc)
+      val r2 = erJob(s, nPages, withCc = false)
+      val r3 = erJob(s, nPages, withCc = withCc)
       s.stop()
-      // best-of-2 measured passes (run-to-run GC/JIT swing), CC from r2
-      (r1._1, math.min(r1._2, r2._2), r2._3)
+      (r1._1, math.min(math.min(r1._2, r2._2), r3._2), r3._3)
     }
     // CC timed at the hi level only: its fixed-point rounds are diameter-
     // bound and excluded from the throughput metric anyway

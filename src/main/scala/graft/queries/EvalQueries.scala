@@ -22,7 +22,7 @@ object EvalQueries {
   def benchmarkDocs(spark: SparkSession, dir: String): Dataset[EvalDoc] = {
     import spark.implicits._
     val pages = ErQueries.pages(spark, dir)
-    val docsNoText = Mentions.fromPages(pages)
+    val docsNoText = ErQueries.mentions(spark, dir) // memoized + persisted
       .groupByKey(_.url)
       .mapGroups { (url, it) =>
         val ms = it.toSeq.sortBy(m => (m.begin, m.end))
@@ -63,7 +63,7 @@ object EvalQueries {
   def evalBaselineCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pages = ErQueries.pages(spark, dir)
-    val mentions = Mentions.fromPages(pages).cache()
+    val mentions = ErQueries.mentions(spark, dir) // memoized + persisted
     val mp = KbBuild.mostPopularCandidates(KbBuild.linkFrequencies(pages))
     val linked = BaselineLinker.linkMostPopular(mentions, mp)
     val predsByUrl: Dataset[(String, Seq[PredSpan])] = linked

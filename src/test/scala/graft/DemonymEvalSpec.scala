@@ -16,7 +16,9 @@ import graft.sources.MappingTables
   * DISAMBIGUATION_DEMONYM_* labels match the EXECUTED reference
   * (tools/gen_demonym_fixtures.py → golden/demonym_eval.json) —
   * the round-1 gap where demonyms were only exercised via
-  * spec-constructed sets. */
+  * spec-constructed sets. Round-2 extension: the same harness exercises
+  * the METONYMY, RARE and PARTIAL_NAME disambiguation labels via a
+  * crafted most-popular-candidates map, all executed-reference-golden. */
 class DemonymEvalSpec extends AnyFunSuite {
   lazy val spark = SparkSessions.spark
 
@@ -73,8 +75,10 @@ class DemonymEvalSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     val typeDb = fields(golden("type_db")).map { case (k, v) => k -> v.arr.map(_.str).toSeq }
     val names = fields(golden("names")).map { case (k, v) => k -> v.str }
+    val mostPopular = fields(golden("most_popular")).map { case (k, v) => k -> v.arr.map(_.str).toSet }
     val entityMeta = EntityMeta(typeDb, Set.empty, Set.empty, names)
-    val errMeta = ErrorLabeler.ErrorMeta(demonyms = surfaces, types = typeDb)
+    val errMeta = ErrorLabeler.ErrorMeta(
+      demonyms = surfaces, mostPopularCandidates = mostPopular, types = typeDb)
 
     val articles = golden("articles").arr
     val goldenCases = golden("cases").arr
@@ -92,10 +96,12 @@ class DemonymEvalSpec extends AnyFunSuite {
             val want = g("error_labels")(mode).arr.map(_.str).toSet
             assert(oursLabels.toSet === want,
               s"doc $docIdx $span [$mode]: got=${oursLabels.toSet} want=$want")
-            demonymLabelsChecked += want.count(_.contains("DEMONYM"))
+            demonymLabelsChecked += want.count(l => l.contains("DEMONYM") ||
+              l.contains("METONYMY") || l.contains("RARE") || l.contains("PARTIAL_NAME"))
         }
       }
     }
-    assert(demonymLabelsChecked >= 4, "fixture must exercise demonym labels in both modes")
+    assert(demonymLabelsChecked >= 14,
+      "fixture must exercise demonym/metonymy/rare/partial-name labels in both modes")
   }
 }

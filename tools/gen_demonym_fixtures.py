@@ -60,13 +60,31 @@ NAMES = {"Q183": "Germany", "Q30": "United States", "Q142": "France",
          "Q101244": "Germans", "Q937": "Albert Einstein", "Q64": "Berlin",
          "Q1321": "Spanish"}
 
+# alias -> most popular candidate set (drives is_rare_case / is_metonymy)
+MOST_POPULAR = {
+    "Turkey": {"Q43"},       # location entity is most popular for the bird word
+    "Paris": {"Q90"},        # city most popular
+    "Hilton": {"Q598747"},   # organization (hotel chain) most popular
+}
+TYPE_DB.update({
+    "Q43": ["Q27096213"],        # Turkey (country): location
+    "Q839581": ["Q16521"],       # turkey (bird): taxon -> not loc/person/ethnicity
+    "Q90": ["Q27096213"],        # Paris: location
+    "Q167646": ["Q215627"],      # Paris Hilton: person
+    "Q598747": ["Q43229"],       # Hilton hotels: organization
+    "Q3520007": ["Q43229"],      # some rare club: organization
+})
+NAMES.update({"Q43": "Turkey", "Q839581": "turkey", "Q90": "Paris",
+              "Q167646": "Paris Whitney Hilton", "Q598747": "Hilton Worldwide",
+              "Q3520007": "Paris Saint-Germain Esports"})
+
 class FakeEntityDb:
     def is_demonym(self, t):
         return t in demonyms
     def get_entity_types(self, e):
         return TYPE_DB.get(e, [])
     def get_most_popular_candidate_for_hyperlink(self, a):
-        return set()
+        return MOST_POPULAR.get(a, set())
     def get_entity_name(self, e):
         return NAMES.get(e, "Unknown")
     def is_quantity(self, e): return False
@@ -106,6 +124,45 @@ ARTICLES = [
                  "name": "Albert Einstein", "type": "Q215627"}],
      "entity_mentions": [{"span": [13, 19], "id": "Q937", "recognized_by": "M",
                           "linked_by": "M", "candidates": ["Q937"]}]},
+    # METONYMY_WRONG: GT is the bird (taxon), most-popular + prediction are
+    # the location -> metonymy error
+    {"id": 4, "title": "metonymy wrong", "text": "They ate Turkey for dinner.\n\n",
+     "evaluation_span": [0, 27],
+     "labels": [{"id": 0, "span": [9, 15], "entity_id": "Q839581",
+                 "name": "turkey", "type": "Q16521"}],
+     "entity_mentions": [{"span": [9, 15], "id": "Q43", "recognized_by": "M",
+                          "linked_by": "M", "candidates": ["Q43"]}]},
+    # METONYMY_CORRECT: same shape, linked correctly
+    {"id": 5, "title": "metonymy correct", "text": "They ate Turkey at noon.\n\n",
+     "evaluation_span": [0, 24],
+     "labels": [{"id": 0, "span": [9, 15], "entity_id": "Q839581",
+                 "name": "turkey", "type": "Q16521"}],
+     "entity_mentions": [{"span": [9, 15], "id": "Q839581", "recognized_by": "M",
+                          "linked_by": "M", "candidates": ["Q839581"]}]},
+    # RARE_WRONG: GT is the rare entity (org), most-popular is another org,
+    # prediction hit the popular one
+    {"id": 6, "title": "rare wrong", "text": "The Hilton posted results.\n\n",
+     "evaluation_span": [0, 26],
+     "labels": [{"id": 0, "span": [4, 10], "entity_id": "Q3520007",
+                 "name": "Paris Saint-Germain Esports", "type": "Q43229"}],
+     "entity_mentions": [{"span": [4, 10], "id": "Q598747", "recognized_by": "M",
+                          "linked_by": "M", "candidates": ["Q598747"]}]},
+    # RARE_CORRECT: rare GT linked correctly despite the popular candidate
+    {"id": 7, "title": "rare correct", "text": "The Hilton won the cup.\n\n",
+     "evaluation_span": [0, 23],
+     "labels": [{"id": 0, "span": [4, 10], "entity_id": "Q3520007",
+                 "name": "Paris Saint-Germain Esports", "type": "Q43229"}],
+     "entity_mentions": [{"span": [4, 10], "id": "Q3520007", "recognized_by": "M",
+                          "linked_by": "M", "candidates": ["Q3520007"]}]},
+    # PARTIAL_NAME_WRONG: mention 'Paris' inside multi-word GT name; the
+    # metonymy check must lose to... (order: demonym > metonymy > partial
+    # > rare) — GT is a person, so metonymy is excluded and partial fires
+    {"id": 8, "title": "partial name wrong", "text": "Then Paris arrived late.\n\n",
+     "evaluation_span": [0, 24],
+     "labels": [{"id": 0, "span": [5, 10], "entity_id": "Q167646",
+                 "name": "Paris Whitney Hilton", "type": "Q215627"}],
+     "entity_mentions": [{"span": [5, 10], "id": "Q90", "recognized_by": "M",
+                          "linked_by": "M", "candidates": ["Q90"]}]},
 ]
 
 db = FakeEntityDb()
@@ -125,6 +182,7 @@ golden = {
     "demonym_surfaces": sorted(demonyms.keys()),
     "type_db": TYPE_DB,
     "names": NAMES,
+    "most_popular": {k: sorted(v) for k, v in MOST_POPULAR.items()},
     "articles": ARTICLES,
     "cases": out,
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ErQueries, EvalQueries, Queries, Queries2, Queries3, TrainingDataQueries}
+import graft.queries.{AuxOracles, ErQueries, EvalQueries, Queries, Queries2, Queries3, TrainingDataQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,7 @@ object SparkEntry {
     "dd_minhash_pairs" -> (TrainingDataQueries.ddMinhashPairs(_, _)),
     "dd_simhash_pairs" -> (TrainingDataQueries.ddSimhashPairs(_, _)),
     "dd_embedding_dups" -> (TrainingDataQueries.ddEmbeddingDups(_, _)),
+    "dd_survivors" -> (TrainingDataQueries.ddSurvivors(_, _)),
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
     "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
     "ann_ivf_topk" -> (TrainingDataQueries.annIvfTopk(_, _)),
@@ -77,6 +78,22 @@ object SparkEntry {
     "eval_oracle_counts" -> (EvalQueries.evalOracleCounts(_, _)),
     "eval_baseline_counts" -> (EvalQueries.evalBaselineCounts(_, _)),
     "eval_cases" -> (EvalQueries.evalCases(_, _)),
+  )
+
+  /** Deterministic intermediate tables dumped by Verify NEXT TO the query
+    * results (not driver queries themselves). They are the parquet INPUTS
+    * that let DuckDB gate queries whose inputs are engine-generated: the
+    * upstream stage (extraction / case generation — golden-tested against
+    * the reference) is dumped once, and the oracle SQL recomputes the
+    * query's aggregation/join/window logic from it in a second engine.
+    * `{OUT}` in oracleSql resolves to the dump directory at Verify time. */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aux_hyperlinks" -> ((s, d) =>
+      graft.kb.KbBuild.hyperlinks(ErQueries.pages(s, d)).select("norm_text", "target")),
+    "aux_block_keys" -> ((s, d) =>
+      graft.er.Blocking.keyed(ErQueries.mentions(s, d), graft.er.Blocking.Config())),
+    "aux_oracle_counter_rows" -> (EvalQueries.auxOracleCounterRows(_, _)),
+    "aux_baseline_counter_rows" -> (EvalQueries.auxBaselineCounterRows(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,5 +127,17 @@ object SparkEntry {
     "q28_brand_csv" -> Queries3.q28Sql,
     "q29_balance_quartiles" -> Queries3.q29Sql,
     "q30_nation_customer_facets" -> Queries3.q30Sql,
+    // engine-generated-input queries, gated via Verify's aux dumps
+    // (`{OUT}` resolves to the dump dir) or full DuckDB re-expression
+    "kb_link_freq" -> AuxOracles.kbLinkFreqSql,
+    "kb_top_candidates" -> AuxOracles.kbTopCandidatesSql,
+    "eval_oracle_counts" -> AuxOracles.evalOracleCountsSql,
+    "eval_baseline_counts" -> AuxOracles.evalBaselineCountsSql,
+    "er_block_profile" -> AuxOracles.erBlockProfileSql,
+    "ta_token_counts" -> AuxOracles.taTokenCountsSql,
+    "ta_fingerprint" -> AuxOracles.taFingerprintSql,
+    "ta_langid" -> AuxOracles.taLangidSql,
+    "ta_quality" -> AuxOracles.taQualitySql,
+    "ann_brute_topk" -> AuxOracles.annBruteTopkSql,
   )
 }

@@ -20,6 +20,31 @@ import graft.synth.Synth.splitmix64
   */
 object Dedup {
 
+  /** Registry of the internal persisted signature tables (one per *Pairs
+    * call). The signature persist is an implementation detail of a single
+    * pipeline execution — without release, a long session running many
+    * dedup queries (the 53-query bench catalog) accumulates
+    * session-lifetime cache blocks. Surfaces call releaseSignatures() when
+    * a dedup result is no longer needed; unpersisting early is safe (the
+    * pairs plan just recomputes the signatures). */
+  private val activeSigs =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistSig(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    activeSigs.add(p)
+    p
+  }
+
+  /** Unpersist every signature table registered since the last release. */
+  def releaseSignatures(): Unit = {
+    var d = activeSigs.poll()
+    while (d != null) {
+      try d.unpersist(false) catch { case _: Throwable => () }
+      d = activeSigs.poll()
+    }
+  }
+
   /** Skew cap for the banded self-joins (same discipline as
     * er.Blocking): buckets larger than `maxBucket` are deterministically
     * sub-bucketed by hash(id, bucket), bounding every task at
@@ -110,12 +135,11 @@ object Dedup {
     // re-shingles and re-hashes the whole corpus (measured: 4x
     // SerializeFromObject scans). Signature rows are compact (id + 64
     // longs), MEMORY_AND_DISK spills if not.
-    val sigs = df
+    val sigs = persistSig(df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) => (id, minhash(charShingles(t, shingleK), nHashes)) }
-      .toDF("id", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("id", "sig"))
     val banded = capBuckets(sigs.select(
       col("id"), col("sig"),
       explode(expr(
@@ -161,26 +185,27 @@ object Dedup {
     * bucket exceeds `maxBucket`. Oversized buckets (identical-band floods,
     * overwhelmingly boilerplate/near-identical cliques) are sub-bucketed
     * for bounded task sizes, which can split a pair whose ONLY agreeing
-    * band is the flooded one. Pass maxBucket = Int.MaxValue to restore the
-    * exhaustive (unbounded-task) behavior. */
+    * band is the flooded one. The DEFAULT therefore keeps the exhaustive
+    * guarantee (maxBucket = Int.MaxValue, no capping); pass a finite
+    * maxBucket to trade exact recall on flooded buckets for bounded task
+    * sizes at web scale (the bench/driver surface uses 4096). */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val sigs = df
+    // persisted: referenced 4x in the plan with no exchange reuse (see
+    // minhashPairs)
+    val sigs = persistSig(df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t.split(' ').toSeq)) }
-      .toDF("id", "sim")
-      // persisted: referenced 4x in the plan with no exchange reuse (see
-      // minhashPairs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("id", "sim"))
     // NOTE: sub-bucketing a simhash band can split a true <=maxHamming pair
     // in that band; unlike minhash's independent bands, the pigeonhole
     // guarantee is per-band, so the cap trades the exact-recall guarantee
@@ -200,6 +225,62 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  // ---------- survivor decision table ----------------------------------------
+
+  /** The deliverable a training-data pipeline actually consumes: a
+    * keep/drop DECISION per document, not candidate pairs. Exact and
+    * MinHash duplicate edges are unioned, closed transitively (connected
+    * components — a near-dup of a near-dup is the same document family),
+    * and each family keeps its minimum id.
+    *
+    * Output: (id, survivor_id, tier) for EVERY input row —
+    *   tier = "keep"  : id == survivor_id (the family representative;
+    *                    singletons keep themselves)
+    *   tier = "exact" : dropped, byte-identical to at least one other doc
+    *   tier = "near"  : dropped, connected only through near-dup edges.
+    *
+    * Deterministic and partitioning-invariant: survivor = min id of the
+    * component; both edge tiers and the CC are order-independent.
+    *
+    * Scale shape: one content-hash shuffle (exact tier), the bucketed
+    * MinHash pipeline (near tier, bounded buckets), one CC over match
+    * edges only (|edges| << |corpus| after blocking) — no stage touches
+    * the full pair space. */
+  def survivors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      nHashes: Int = 64,
+      rowsPerBand: Int = 8,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val hashed = df.select(
+      col(idCol).cast("long").as("id"),
+      md5(col(textCol).cast("binary")).as("content_hash"))
+    val grp = hashed.groupBy("content_hash")
+      .agg(min("id").as("gmin"), count(lit(1)).as("gsz"))
+    val withG = hashed.join(grp, Seq("content_hash"))
+      .select(col("id"), col("gmin"), (col("gsz") > 1).as("has_exact"))
+    val exactEdges = withG.where(col("id") =!= col("gmin"))
+      .select(col("id").as("a"), col("gmin").as("b"))
+    val nearEdges = minhashPairs(df, idCol, textCol, shingleK, nHashes,
+      rowsPerBand, minJaccard, maxBucket)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val cc = graft.er.Clustering.connectedComponents(
+      spark, exactEdges.unionByName(nearEdges))
+    withG
+      .join(cc, Seq("id"), "left")
+      .withColumn("survivor_id", coalesce(col("cluster"), col("id")))
+      .withColumn(
+        "tier",
+        when(col("survivor_id") === col("id"), lit("keep"))
+          .when(col("has_exact"), lit("exact"))
+          .otherwise(lit("near")))
+      .select(col("id"), col("survivor_id"), col("tier"))
   }
 
   // ---------- embedding cosine ------------------------------------------------
@@ -235,7 +316,9 @@ object Dedup {
         (splitmix64(seed ^ (b * 1009L + d * 31L + k)) >>> 11).toDouble / (1L << 53)).sum - 2.0
     }
     val planesB = spark.sparkContext.broadcast(planes)
-    val signed = base.as[(Long, Seq[Double])].map { case (id, v) =>
+    // persisted: referenced 4x in the plan with no exchange reuse (see
+    // minhashPairs)
+    val signed = persistSig(base.as[(Long, Seq[Double])].map { case (id, v) =>
       val p = planesB.value
       var sig = 0L
       var b = 0
@@ -247,10 +330,7 @@ object Dedup {
         b += 1
       }
       (id, v, sig)
-    }.toDF("id", "v", "sig")
-      // persisted: referenced 4x in the plan with no exchange reuse (see
-      // minhashPairs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.toDF("id", "v", "sig"))
     val nBands = nBits / bandBits
     val banded = capBuckets(signed.select(
       col("id"), col("v"),

@@ -88,9 +88,11 @@ object Blocking {
   def candidatePairs(mentions: Dataset[Mention], cfg: Config = Config()): DataFrame = {
     val k = keyed(mentions, cfg)
     // bucket = hash(id) mod ceil(size / maxBlock); key#bucket for hot blocks.
-    // Only the OVERSIZED keys (block_size > maxBlock) are joined back — that
-    // set is the skew tail (bounded by n_mentions*keys/maxBlock rows, tiny in
-    // practice), so it broadcasts safely at any corpus size; the full
+    // Only the OVERSIZED keys (block_size > maxBlock) are joined back — the
+    // skew tail, small in practice (worst case n_rows/maxBlock entries, so
+    // still linear in an adversarial all-hot corpus: the broadcast() hint is
+    // a pragmatic bet on real key distributions, and AQE would be the
+    // fallback if a corpus ever breaks it); the full
     // one-row-per-distinct-key table would grow linearly with the corpus and
     // must never be broadcast.
     val hot = k.groupBy("key").agg(count("*").as("block_size"))
@@ -117,10 +119,11 @@ object Blocking {
     * the input of the fused scoring path (Scoring.scoreFused): one shuffle
     * co-partitions mentions by block key; everything downstream is
     * map-side. Only the OVERSIZED-key rows (block_size > maxBlock) are
-    * broadcast back — the skew tail, bounded regardless of corpus size —
-    * while every other key defaults to nb=1 map-side via the left join's
-    * null. Broadcasting the FULL one-row-per-distinct-key table (as v1 did)
-    * grows linearly with mention count and OOMs at web scale. */
+    * broadcast back — the skew tail, small in practice (worst case
+    * n_rows/maxBlock entries) — while every other key defaults to nb=1
+    * map-side via the left join's null. Broadcasting the FULL
+    * one-row-per-distinct-key table (as v1 did) grows linearly with
+    * mention count and OOMs at web scale. */
   def keyedWithAttrs(mentions: Dataset[Mention], cfg: Config): DataFrame = {
     import mentions.sparkSession.implicits._
     // context tokens travel as SORTED 64-bit hashes: the pair-scale join is
@@ -144,15 +147,33 @@ object Blocking {
   }
 
   /** Block-size profile — the metrics surface for the skew invariant
-    * (max block size after bucketing must be <= maxBlock). */
+    * (max block size after bucketing must be <= maxBlock).
+    *
+    * Integer-exact by construction (DuckDB-gated): p99 is the DISCRETE
+    * 99th percentile — the smallest block size s such that >= ceil(0.99 *
+    * n_blocks) blocks are <= s — computed over the tiny distinct-size
+    * histogram (cardinality <= number of distinct block sizes) with a
+    * bounded non-equi self-join, NOT a partition-less global window and
+    * NOT percentile_approx (whose sketch boundaries no other engine
+    * reproduces). */
   def blockProfile(mentions: Dataset[Mention], cfg: Config = Config()): DataFrame = {
-    keyed(mentions, cfg)
+    val sizes = keyed(mentions, cfg)
       .groupBy("key")
       .agg(count("*").as("block_size"))
-      .agg(
-        count("*").as("n_blocks"),
-        max("block_size").as("max_block"),
-        expr("percentile_approx(block_size, 0.99)").as("p99_block"),
-        sum(expr("block_size * (block_size - 1) / 2")).as("naive_pairs"))
+    val tot = sizes.agg(
+      count("*").as("n_blocks"),
+      max("block_size").as("max_block"),
+      sum(expr("block_size * (block_size - 1) div 2")).as("naive_pairs"))
+    // distinct-size histogram: tiny relative to the corpus
+    val g = sizes.groupBy("block_size").agg(count(lit(1)).as("c"))
+    val cum = g.as("g1")
+      .join(g.as("g2"), col("g2.block_size") <= col("g1.block_size"))
+      .groupBy(col("g1.block_size").as("bs"))
+      .agg(sum(col("g2.c")).as("cc"))
+    val p99 = cum.crossJoin(broadcast(tot.select(col("n_blocks").as("nb"))))
+      .where(col("cc") >= expr("(99 * nb + 99) div 100"))
+      .agg(min(col("bs")).as("p99_block"))
+    tot.crossJoin(broadcast(p99))
+      .select(col("n_blocks"), col("max_block"), col("p99_block"), col("naive_pairs"))
   }
 }

@@ -107,17 +107,23 @@ object Evaluation {
     out.result()
   }
 
-  /** The counter aggregation: DataFrame(mode, category, tp, fp, fn). */
-  def counts(cases: Dataset[EvalCase], meta: EntityMeta): DataFrame = {
+  /** Per-case counter deltas as a flat DataFrame(mode, category, tp, fp,
+    * fn) — the pre-aggregation relation. Surfaced so Verify can dump it as
+    * a parquet input and DuckDB can gate the aggregation below. */
+  def counterRowsDf(cases: Dataset[EvalCase], meta: EntityMeta): DataFrame = {
     val spark = cases.sparkSession
     import spark.implicits._
     val metaB = spark.sparkContext.broadcast(meta)
     cases
       .flatMap(c => counterRows(c, metaB.value))
       .toDF("mode", "category", "tp", "fp", "fn")
+  }
+
+  /** The counter aggregation: DataFrame(mode, category, tp, fp, fn). */
+  def counts(cases: Dataset[EvalCase], meta: EntityMeta): DataFrame =
+    counterRowsDf(cases, meta)
       .groupBy(col("mode"), col("category"))
       .agg(sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"))
-  }
 
   final case class F1(tp: Long, fp: Long, fn: Long) {
     def precision: Double = if (tp + fp > 0) tp.toDouble / (tp + fp) else 0.0

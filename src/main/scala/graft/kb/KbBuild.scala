@@ -133,7 +133,11 @@ object KbBuild {
   def extractAcronyms(pages: Dataset[Page]): DataFrame = {
     import pages.sparkSession.implicits._
     val AcronymRe = """ \(([A-Z]+)\).*""".r
-    val WordRe = """[\w']+""".r
+    // (?U) = UNICODE_CHARACTER_CLASS: Python's \w is Unicode-aware, Java's
+    // is ASCII-only by default — without the flag a fully non-ASCII link
+    // text (CJK, accented) counts 0 words and drops acronyms the
+    // reference keeps
+    val WordRe = """(?U)[\w']+""".r
     pages.flatMap { p =>
       val ex = Extract.processExtractorText(new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
       val text = ex.text

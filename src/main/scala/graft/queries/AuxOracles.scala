@@ -1,0 +1,163 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the queries whose INPUTS are engine-generated
+  * (synthetic pages corpus) or whose logic needs non-ANSI DuckDB
+  * list/regex machinery. Two patterns:
+  *
+  *   1. `{OUT}`-anchored: Verify dumps a deterministic upstream relation
+  *      (hyperlinks, blocking keys, per-case counter rows — each
+  *      golden-tested against the reference) as parquet next to the query
+  *      results, and the oracle recomputes the query's downstream
+  *      aggregation/join/window logic from that dump in a second engine.
+  *   2. Direct: the query reads the sf tables (documents/embeddings), so
+  *      the oracle re-expresses the full computation in DuckDB SQL — the
+  *      rolling-hash fingerprint runs as HUGEINT list_reduce arithmetic,
+  *      ANN brute-force as a cross join + window, language ID / quality /
+  *      token counts as list/regex pipelines.
+  *
+  * Numeric discipline: BIGINT-only outputs wherever feasible (DuckDB sums
+  * return HUGEINT — outer casts); ta_quality is the one double-valued
+  * oracle, exact because both engines evaluate the identical IEEE
+  * expression tree left-associatively.
+  */
+object AuxOracles {
+
+  val kbLinkFreqSql: String =
+    """SELECT norm_text AS link_text, target AS entity_id, count(*) AS freq
+      |FROM '{OUT}/aux_hyperlinks/*.parquet' GROUP BY 1, 2""".stripMargin
+
+  val kbTopCandidatesSql: String =
+    """WITH lf AS (SELECT norm_text AS link_text, target AS entity_id, count(*) AS freq
+      |            FROM '{OUT}/aux_hyperlinks/*.parquet' GROUP BY 1, 2),
+      |rk AS (SELECT link_text, entity_id, freq,
+      |              rank() OVER (PARTITION BY link_text ORDER BY freq DESC) AS rnk FROM lf)
+      |SELECT link_text, string_agg(DISTINCT entity_id, ',' ORDER BY entity_id) AS candidates,
+      |       CAST(max(freq) AS BIGINT) AS freq
+      |FROM rk WHERE rnk = 1 GROUP BY link_text""".stripMargin
+
+  val evalOracleCountsSql: String =
+    """SELECT mode, category, CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+      |       CAST(sum(fn) AS BIGINT) AS fn
+      |FROM '{OUT}/aux_oracle_counter_rows/*.parquet' GROUP BY mode, category""".stripMargin
+
+  val evalBaselineCountsSql: String =
+    """SELECT mode, category, CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+      |       CAST(sum(fn) AS BIGINT) AS fn
+      |FROM '{OUT}/aux_baseline_counter_rows/*.parquet' GROUP BY mode, category""".stripMargin
+
+  /** Discrete p99 (smallest size covering >= ceil(0.99 * n_blocks) blocks)
+    * via the distinct-size histogram — integer-exact, mirrors
+    * Blocking.blockProfile. */
+  val erBlockProfileSql: String =
+    """WITH bs AS (SELECT key, count(*) AS block_size
+      |            FROM '{OUT}/aux_block_keys/*.parquet' GROUP BY key),
+      |g AS (SELECT block_size, count(*) AS c FROM bs GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+      |               CAST(max(block_size) AS BIGINT) AS max_block,
+      |               CAST(sum((block_size * (block_size - 1)) // 2) AS BIGINT) AS naive_pairs
+      |        FROM bs),
+      |cum AS (SELECT g1.block_size AS bs2, sum(g2.c) AS cc
+      |        FROM g g1 JOIN g g2 ON g2.block_size <= g1.block_size
+      |        GROUP BY g1.block_size),
+      |p99 AS (SELECT CAST(min(cum.bs2) AS BIGINT) AS p99_block FROM cum, tot
+      |        WHERE cum.cc >= (99 * tot.n_blocks + 99) // 100)
+      |SELECT n_blocks, max_block, p99_block, naive_pairs FROM tot, p99""".stripMargin
+
+  val taTokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(coalesce(list_sum(list_transform(list_filter(
+      |         regexp_split_to_array(text, '[^\p{L}\p{N}]+'), w -> w <> ''),
+      |         w -> (length(w) + 3) // 4)), 0)
+      |       + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
+      |FROM documents""".stripMargin
+
+  /** The FNV-style rolling fingerprint as HUGEINT arithmetic: fold
+    * (xor(h, c) * prime) mod 2^64 over the normalized text's code units,
+    * then map the unsigned result back to the signed BIGINT Spark emits. */
+  val taFingerprintSql: String =
+    """SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808
+      |                         THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint
+      |FROM (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |        list_transform(range(1, length(norm) + 1),
+      |                       i -> CAST(unicode(substr(norm, i, 1)) AS HUGEINT))),
+      |        (a, b) -> (xor(a, b) * 1099511628211) % 18446744073709551616) AS h
+      |      FROM (SELECT doc_id,
+      |              regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |                '\s', ' ', 'g'), ' +', ' ', 'g'), '^ ', '') AS norm
+      |            FROM documents))""".stripMargin
+
+  val taLangidSql: String = {
+    val en = "['the','of','and','to','in','is','was','that','for','with','as','his','her']"
+    val de = "['der','die','das','und','ist','von','mit','ein','eine','nicht','auf','für','im']"
+    val es = "['el','la','los','las','de','que','y','en','un','una','es','por','con']"
+    val fr = "['le','la','les','de','des','et','est','un','une','dans','que','pour','qui']"
+    raw"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_transform(list_filter(regexp_split_to_array(text,
+       |      '[^\p{L}\p{Nd}_'']+'), w -> w <> ''), w -> lower(w)) AS toks,
+       |    length(regexp_replace(text, '\s', '', 'g')) AS total,
+       |    length(regexp_replace(text, '[^\p{Han}\p{Hiragana}\p{Katakana}]', '', 'g')) AS cjk
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks, total, cjk,
+       |    length(list_filter(toks, w -> list_contains($en, w))) AS s_en,
+       |    length(list_filter(toks, w -> list_contains($de, w))) AS s_de,
+       |    length(list_filter(toks, w -> list_contains($es, w))) AS s_es,
+       |    length(list_filter(toks, w -> list_contains($fr, w))) AS s_fr
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN total > 0 AND cjk * 1.0 / total > 0.25 THEN 'zh'
+       |       WHEN length(toks) = 0 THEN 'und'
+       |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM s""".stripMargin
+  }
+
+  val taQualitySql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(text, '\s+') AS toks,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(length(regexp_replace(text, '[^\p{L}\p{N}]', '', 'g')) AS DOUBLE) AS n_alnum,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, toks, n_chars, n_alnum, n_digit,
+      |    CAST(length(toks) AS DOUBLE) AS n_tok,
+      |    CAST(length(list_filter(toks, w -> list_contains(
+      |      ['the','of','and','to','in','is','was','that','for','with','as','his','her'],
+      |      lower(w)))) AS DOUBLE) AS n_stop,
+      |    CASE WHEN length(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_max(list_transform(list_distinct(toks),
+      |                d -> length(list_filter(toks, w -> w = d)))) AS DOUBLE)
+      |              / CAST(length(toks) AS DOUBLE) END AS top_tok_share,
+      |    CASE WHEN length(toks) = 0 THEN 0.0
+      |         ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+      |              / CAST(length(toks) AS DOUBLE) END AS mean_word_len
+      |  FROM b)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+      |  greatest(0.0, least(1.0,
+      |    0.35 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alnum / n_chars END)
+      |    + 0.25 * least((CASE WHEN n_tok = 0 THEN 0.0 ELSE n_stop / n_tok END) * 4, 1.0)
+      |    + 0.2 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.3 END)
+      |    + 0.2 * (1.0 - top_tok_share)
+      |    - 0.3 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END))) AS quality
+      |FROM m""".stripMargin
+
+  /** Exact brute-force ANN replay: cross join + window in DuckDB, ranked
+    * by list_cosine_similarity under the same (cosine DESC, nbr ASC) total
+    * order the engine uses. */
+  val annBruteTopkSql: String =
+    """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT query_id, rank, nbr_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+      |  FROM q, c WHERE c.vec_id <> q.vec_id)
+      |WHERE rank <= 5""".stripMargin
+}

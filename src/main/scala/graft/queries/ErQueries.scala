@@ -2,17 +2,20 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.er.{Blocking, Clustering, Mentions, PairEval, Scoring}
 import graft.model.{Mention, Page}
 import graft.synth.Synth
 
 /** Entity-resolution pipeline queries over the synthetic Common-Crawl-style
-  * pages table (BASELINE.json north_rule). No DuckDB oracle exists for
-  * these (the pages are generated in-engine), so the driver records
-  * rows-only checks; semantic correctness is enforced by the ScalaTest
-  * suite (pairwise F1 >= 0.99, CC vs union-find, determinism under
-  * repartitioning).
+  * pages table (BASELINE.json north_rule). The mention table and the
+  * deduplicated scored-pair universe have no native DuckDB derivation (the
+  * pages are generated in-engine), but Verify dumps them as parquet inputs
+  * so the DOWNSTREAM aggregations (block profile, eval counts) are
+  * DuckDB-gated; the pipeline semantics themselves are enforced by the
+  * ScalaTest suite (pairwise F1 >= 0.99, CC vs union-find, determinism
+  * under repartitioning).
   */
 object ErQueries {
 
@@ -30,19 +33,69 @@ object ErQueries {
   def pages(spark: SparkSession, dir: String): Dataset[Page] =
     Synth.pages(spark, pageCountFor(dir), seed = 42L, nDomains = 50)
 
-  /** Session-scoped memo of the mention table: the catalog surfaces five
-    * ER queries over the same deterministic corpus, and without reuse each
-    * re-runs extraction + mention explosion (the classic shared-dimension
-    * pattern — compute once, persist, reuse). Keyed by application id so a
-    * stopped session's entries are never resurrected. */
-  private val mentionsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Dataset[Mention]]()
+  /** Session-scoped shared ER pipeline stages for one (session, dir): the
+    * catalog surfaces six queries over the same deterministic corpus, and
+    * all of them are prefixes of one DAG
+    *   mentions → keyed blocks → scored pairs → match edges → clusters.
+    * Without sharing, each query re-runs every upstream stage (round-2
+    * bench: 3 fused-scoring shuffles + 2 CC runs per catalog pass); with
+    * it, each stage runs ONCE per session and is persisted — the classic
+    * shared-dimension pattern. All stages are lazy: a query only
+    * materializes the prefix it actually needs. */
+  final class Shared private[ErQueries] (spark: SparkSession, dir: String) {
+
+    /** Mention extraction output (E1/F1 operators over the page HTML). */
+    lazy val mentions: Dataset[Mention] =
+      Mentions.fromPages(pages(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** Deduplicated scored candidate-pair universe — ONE fused
+      * blocking+scoring shuffle per session (J1/J8/J9). Duplicate rows
+      * across block keys are bit-identical, so the drop is deterministic. */
+    lazy val scoredPairs: DataFrame =
+      Scoring.scoreFused(Blocking.keyedWithAttrs(mentions, Blocking.Config()))
+        .dropDuplicates("a", "b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** Transitive clustering over the match edges — ONE connected-components
+      * run per session (G6). */
+    lazy val clusters: DataFrame =
+      Clustering.assign(
+        spark,
+        mentions.select(col("mention_id").as("id")),
+        scoredPairs.where(col("is_match")).select(col("a"), col("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    /** Release every persisted stage (safe on never-materialized stages —
+      * persist() is plan metadata until an action runs). */
+    def unpersistAll(): Unit = {
+      try clusters.unpersist(false) catch { case _: Throwable => () }
+      try scoredPairs.unpersist(false) catch { case _: Throwable => () }
+      try mentions.unpersist(false) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Keyed by application id so a stopped session's entries are never
+    * resurrected; entries from OTHER applications are evicted (and
+    * unpersisted) on access, so repeated Bench/Verify mains or test suites
+    * in one JVM cannot accumulate session-lifetime cache blocks. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Shared]()
+
+  def shared(spark: SparkSession, dir: String): Shared = {
+    val app = spark.sparkContext.applicationId
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.startsWith(app + "|")) {
+        try e.getValue.unpersistAll() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    cache.computeIfAbsent(app + "|" + dir, _ => new Shared(spark, dir))
+  }
 
   def mentions(spark: SparkSession, dir: String): Dataset[Mention] =
-    mentionsCache.computeIfAbsent(
-      spark.sparkContext.applicationId + "|" + dir,
-      _ => Mentions.fromPages(pages(spark, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    shared(spark, dir).mentions
 
   /** Extraction stage output (hyperlink/section/synonym counts per url) —
     * the E1 operator surfaced as a query. */
@@ -64,24 +117,20 @@ object ErQueries {
   def erBlockProfile(spark: SparkSession, dir: String): DataFrame =
     Blocking.blockProfile(mentions(spark, dir))
 
-  def erScoredPairs(spark: SparkSession, dir: String): DataFrame = {
-    val m = mentions(spark, dir)
-    Scoring.scoreFused(Blocking.keyedWithAttrs(m, Blocking.Config()))
-      .dropDuplicates("a", "b")
-  }
+  def erScoredPairs(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir).scoredPairs
 
-  def erClusters(spark: SparkSession, dir: String): DataFrame = {
-    val m = mentions(spark, dir) // memoized + persisted
-    val scored = Scoring.scoreFused(Blocking.keyedWithAttrs(m, Blocking.Config()))
-    val edges = scored.where(col("is_match")).select(col("a"), col("b")).distinct()
-    Clustering.assign(spark, m.select(col("mention_id").as("id")), edges)
-  }
+  def erClusters(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir).clusters
 
-  /** One-row pairwise eval — the headline metric (F1 vs gold clusters). */
+  /** One-row pairwise eval — the headline metric (F1 vs gold clusters).
+    * Derived entirely from the shared scored-pair universe and cluster
+    * assignment (no recompute; PairEval.runPipeline remains the standalone
+    * API for library callers). */
   def erPairwiseEval(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val m = mentions(spark, dir) // memoized + persisted (not unpersisted: shared)
-    val (_, _, ev) = PairEval.runPipeline(spark, m)
+    val sh = shared(spark, dir)
+    val ev = PairEval.pairwise(sh.scoredPairs, sh.clusters)
     Seq((ev.tp, ev.fp, ev.fn, ev.precision, ev.recall, ev.f1))
       .toDF("tp", "fp", "fn", "precision", "recall", "f1")
   }

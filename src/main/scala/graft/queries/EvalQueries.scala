@@ -49,18 +49,16 @@ object EvalQueries {
     KbBuild.mostPopularCandidates(kbLinkFreq(spark, dir))
       .withColumn("candidates", concat_ws(",", col("candidates")))
 
-  /** Oracle identity at corpus scale: one row per (mode, category). The
-    * "all" rows must carry fp = fn = 0. */
-  def evalOracleCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** Benchmark docs carrying the oracle linker's predictions. */
+  private def oracleDocs(spark: SparkSession, dir: String): Dataset[EvalDoc] = {
     import spark.implicits._
-    val docs = benchmarkDocs(spark, dir)
+    benchmarkDocs(spark, dir)
       .map(d => d.copy(predictions = OracleLinker.predictions(d.labels)))
-    Evaluation.counts(Evaluation.cases(docs, EntityMeta.empty), EntityMeta.empty)
   }
 
-  /** Baseline linker (most-popular candidate, min tie-break) evaluated
-    * with full reference semantics. */
-  def evalBaselineCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** Benchmark docs carrying the baseline (most-popular candidate)
+    * linker's predictions. */
+  private def baselineDocs(spark: SparkSession, dir: String): Dataset[EvalDoc] = {
     import spark.implicits._
     val pages = ErQueries.pages(spark, dir)
     val mentions = ErQueries.mentions(spark, dir) // memoized + persisted
@@ -74,13 +72,36 @@ object EvalQueries {
         url -> it.map(p => PredSpan(p._2, p._3, p._4, p._5, "Baseline")).toSeq
       }
     val bench = benchmarkDocs(spark, dir)
-    val docs = bench
+    bench
       .joinWith(predsByUrl, bench("url") === predsByUrl("_1"), "left")
       .map { case (doc, preds) =>
         doc.copy(predictions = Option(preds).map(_._2).getOrElse(Nil))
       }
-    Evaluation.counts(Evaluation.cases(docs, EntityMeta.empty), EntityMeta.empty)
   }
+
+  /** Oracle identity at corpus scale: one row per (mode, category). The
+    * "all" rows must carry fp = fn = 0. */
+  def evalOracleCounts(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.counts(
+      Evaluation.cases(oracleDocs(spark, dir), EntityMeta.empty), EntityMeta.empty)
+
+  /** Baseline linker (most-popular candidate, min tie-break) evaluated
+    * with full reference semantics. */
+  def evalBaselineCounts(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.counts(
+      Evaluation.cases(baselineDocs(spark, dir), EntityMeta.empty), EntityMeta.empty)
+
+  /** Aux dumps for the DuckDB gate: the pre-aggregation counter-row
+    * relations of the two eval queries above (the per-case counting logic
+    * is golden-tested; the dumped relation lets DuckDB replay the
+    * aggregation). */
+  def auxOracleCounterRows(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.counterRowsDf(
+      Evaluation.cases(oracleDocs(spark, dir), EntityMeta.empty), EntityMeta.empty)
+
+  def auxBaselineCounterRows(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.counterRowsDf(
+      Evaluation.cases(baselineDocs(spark, dir), EntityMeta.empty), EntityMeta.empty)
 
   /** Flattened evaluation-case table (the reference's eval_cases.jsonl). */
   def evalCases(spark: SparkSession, dir: String): DataFrame = {

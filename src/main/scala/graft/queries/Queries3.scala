@@ -104,10 +104,67 @@ object Queries3 {
 
   // Q29 — ntile quartiles of customers by balance (total order includes
   // the key, so bucket boundaries are deterministic in both engines).
+  //
+  // SCALE: a bare ntile(4) OVER (ORDER BY ...) is a partition-less window —
+  // Spark moves the whole table through ONE task (the "No Partition Defined
+  // for Window" warning; a scale-killer at 100x). Equivalent distributed
+  // plan: range-partition on the total order, per-partition local
+  // row_number (window partitioned by the range-partition id), add
+  // broadcast prefix-count offsets -> exact global rank -> ntile bucket by
+  // integer arithmetic (first n%4 buckets get floor(n/4)+1 rows). Output is
+  // identical to ntile(4); no stage sees more than one partition's rows.
   def q29BalanceQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    t(spark, dir, "customer")
-      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+    import spark.implicits._
+    val cust = t(spark, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    // Ordered split keys from a deterministic hash-ordered sample (NOT
+    // repartitionByRange: the RangePartitioner's sample seed depends on the
+    // RDD id, so its boundaries differ between the size-count job and the
+    // final job — observed as wrong quartile sizes). The sample is a pure
+    // function of the data, so every job splits identically.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sample = cust
+      .select(col("c_acctbal").cast("double"), col("c_custkey").cast("long"))
+      .orderBy(xxhash64(col("c_custkey")))
+      .limit(4096)
+      .as[(Double, Long)].collect()
+      .sorted
+    val nb = math.max(1, math.min(parts, sample.length)) // number of groups
+    val boundaries = (1 until nb).map(i => sample(i * sample.length / nb)).toArray
+    val bB = spark.sparkContext.broadcast(boundaries)
+    // group = #boundaries <= key (binary search over the broadcast array)
+    val grpUdf = udf { (bal: Double, key: Long) =>
+      val bs = bB.value
+      var lo = 0; var hi = bs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val (bBal, bKey) = bs(mid)
+        if (bBal < bal || (bBal == bal && bKey <= key)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val grouped = cust.withColumn(
+      "grp", grpUdf(col("c_acctbal").cast("double"), col("c_custkey").cast("long")))
+    // group sizes: tiny (#groups rows) -> prefix offsets on the driver,
+    // broadcast back; grp indexes the boundary order, so sorting by grp is
+    // the total order.
+    val sizes = grouped.groupBy("grp").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = sizes.map(_._2).sum
+    var acc = 0L
+    val offsets = sizes.map { case (g, c) => val o = acc; acc += c; (g, o) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("grp", "off")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val q = n / 4
+    val rem = n % 4
+    grouped
+      .withColumn("lr", row_number().over(w).cast("bigint"))
+      .join(broadcast(offDf), Seq("grp"))
+      .withColumn("r", col("off") + col("lr"))
+      .withColumn(
+        "quartile",
+        when(col("r") <= lit(rem * (q + 1)), expr(s"(r + $q) div ${q + 1}"))
+          .otherwise(lit(rem) + expr(s"(r - ${rem * (q + 1)} + ${q - 1}) div ${math.max(q, 1L)}")))
       .groupBy(col("quartile"))
       .agg(
         count(lit(1)).as("n"),

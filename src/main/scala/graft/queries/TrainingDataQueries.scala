@@ -29,7 +29,17 @@ object TrainingDataQueries {
       shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35)
 
   def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8)
+    // explicit finite cap: this surface is the web-scale path, so bounded
+    // task sizes are chosen over the exhaustive pigeonhole guarantee
+    // (the library default keeps exactness — Dedup.simhashPairs doc)
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8,
+      maxBucket = 4096)
+
+  /** Keep/drop decision table: exact + minhash tiers, transitive closure,
+    * min-id survivor (the deliverable a training pipeline consumes). */
+  def ddSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Dedup.survivors(docs(spark, dir), "doc_id", "text",
+      shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35)
 
   def ddEmbeddingDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(embs(spark, dir), "vec_id", "embedding",
@@ -49,8 +59,10 @@ object TrainingDataQueries {
 
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
+    // nLists auto-derived (~sqrt(corpus)) so the index keeps cell
+    // populations bounded at any sf (Ann.autoNLists doc)
     Ann.ivfTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
-      nLists = 16, nProbe = 4).drop("cosine")
+      nProbe = 4).drop("cosine")
   }
 
   def taLangid(spark: SparkSession, dir: String): DataFrame =

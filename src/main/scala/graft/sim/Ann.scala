@@ -112,6 +112,16 @@ object Ann extends Serializable {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** nLists for a corpus of n vectors: ~sqrt(n), clamped to [4, 65536].
+    * Cell population is n/nLists, per-query probe cost is
+    * nProbe * n/nLists rows, and the broadcast centroid table is
+    * nLists * dim doubles — sqrt(n) balances the two (both grow as
+    * sqrt(n)), the classic IVF sizing rule. At 10^12 vectors the clamp
+    * gives 65536 lists (~15M vectors/cell — raise nProbe-side parallelism
+    * or shard the index beyond that). */
+  def autoNLists(corpusSize: Long): Int =
+    math.max(4L, math.min(65536L, math.round(math.sqrt(corpusSize.toDouble)))).toInt
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into nLists
     * Voronoi cells around trained centroids; a query scans only its
     * nProbe nearest cells, with exact cosine re-rank inside them.
@@ -122,7 +132,13 @@ object Ann extends Serializable {
     * assignment is one map-side argmax per row; the query join shuffles
     * by cell id, so per-query work is bounded by the probed cells'
     * population, not the corpus. Determinism: sampling by splitmix64(id)
-    * order, ties in assignment and ranking broken by ascending id. */
+    * order, ties in assignment and ranking broken by ascending id.
+    *
+    * Parameter guidance: nLists must GROW with the corpus — cell
+    * population is n/nLists, so a fixed nLists degrades to a partial scan
+    * at 100x the data. nLists <= 0 (the default) derives
+    * autoNLists(count) = ~sqrt(n); probe cost per query is then
+    * ~nProbe * sqrt(n) candidate rows. */
   def ivfTopK(
       spark: SparkSession,
       corpus: DataFrame,
@@ -130,13 +146,29 @@ object Ann extends Serializable {
       idCol: String,
       vecCol: String,
       k: Int,
-      nLists: Int = 16,
+      nLists: Int = 0,
       nProbe: Int = 4,
       iters: Int = 3,
       trainSample: Int = 4096): DataFrame = {
+    val assigned = ivfAssign(spark, corpus, idCol, vecCol, nLists, iters, trainSample)
+    ivfSearch(spark, assigned, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Cell assignment stage of ivfTopK, exposed so the index can be built
+    * once, inspected (cell-population bounds), and searched repeatedly.
+    * Returns (cell, nbr_id, cv) plus the broadcast centroids. */
+  private[graft] def ivfAssign(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      iters: Int = 3,
+      trainSample: Int = 4096): (DataFrame, Array[Array[Double]]) = {
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v")).as[(Long, Seq[Double])]
+    val lists = if (nLists > 0) nLists else autoNLists(base.count())
 
     // deterministic training sample: the trainSample smallest splitmix64(id)
     val sample = base
@@ -145,25 +177,15 @@ object Ann extends Serializable {
       .select(col("id"), col("v")).as[(Long, Array[Double])].collect()
     require(sample.nonEmpty, "ivfTopK: empty corpus")
     var centroids: Array[Array[Double]] =
-      sample.take(math.min(nLists, sample.length)).map(_._2)
+      sample.take(math.min(lists, sample.length)).map(_._2)
 
-    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
-      var best = 0; var bestCos = Double.NegativeInfinity
-      var i = 0
-      while (i < cs.length) {
-        val c = cosine(cs(i), v)
-        if (c > bestCos) { bestCos = c; best = i }
-        i += 1
-      }
-      best
-    }
     // Lloyd rounds on the driver-side sample (bounded by trainSample)
     var it = 0
     while (it < iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
       val cnt = new Array[Int](centroids.length)
       sample.foreach { case (_, v) =>
-        val c = nearest(centroids, v)
+        val c = nearestCell(centroids, v)
         var d = 0
         while (d < v.length && d < sums(c).length) { sums(c)(d) += v(d); d += 1 }
         cnt(c) += 1
@@ -177,8 +199,34 @@ object Ann extends Serializable {
     val centB = spark.sparkContext.broadcast(centroids)
 
     val assigned = base.map { case (id, v) =>
-      (nearest(centB.value, v.toArray), id, v)
+      (nearestCell(centB.value, v.toArray), id, v)
     }.toDF("cell", "nbr_id", "cv")
+    (assigned, centroids)
+  }
+
+  private def nearestCell(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var i = 0
+    while (i < cs.length) {
+      val c = cosine(cs(i), v)
+      if (c > bestCos) { bestCos = c; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Probe + exact re-rank stage of ivfTopK over a built index. */
+  private[graft] def ivfSearch(
+      spark: SparkSession,
+      index: (DataFrame, Array[Array[Double]]),
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val (assigned, centroids) = index
+    val centB = spark.sparkContext.broadcast(centroids)
 
     // queries probe their nProbe nearest cells
     val probes = queries.select(col(idCol).cast("long").as("query_id"),

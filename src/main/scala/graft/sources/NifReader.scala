@@ -201,8 +201,9 @@ object NifReader {
 
   // ---------- NIF → EvalDocs ---------------------------------------------------
 
-  /** Parse one NIF document's content into EvalDocs (article ids continue
-    * from `startId`; the reference counts across files). */
+  /** Parse one NIF document's content into EvalDocs. Docs are identified
+    * by their context URI (sorted); callers that need stable numeric ids
+    * across files assign them after the sort. */
   def docsFromNif(
       content: String,
       title2qid: Map[String, String],

@@ -67,6 +67,55 @@ class BenchmarkStatsSpec extends AnyFunSuite {
     assert(stats.getLong(1) == golden("text_statistics")("labels").num.toLong)
   }
 
+  test("add_benchmark: kore50 converted through the job reproduces the shipped histograms") {
+    // The add_benchmark.py composition (reader -> label name/type
+    // enrichment -> ours-JSONL write -> statistics): the dimension is
+    // built from the shipped file's own annotations, so a correct
+    // enrichment join + a faithful JSONL writer must reproduce the shipped
+    // benchmark_statistics histograms when the CONVERTED file is re-read.
+    val docs = BenchmarkReader.ourJsonl(
+      spark, "/root/reference/benchmarks/kore50.benchmark.jsonl")
+    val dim = docs.collect().flatMap(_.labels)
+      .filterNot(l => isUnknownEntity(l.entityId))
+      .map(l => l.entityId -> (l.types, l.name)).toMap
+    val meta = EntityMeta(
+      types = dim.map { case (k, v) => k -> v._1 },
+      quantities = Set.empty, datetimes = Set.empty,
+      names = dim.map { case (k, v) => k -> v._2 })
+
+    val out = java.nio.file.Files.createTempDirectory("addbench").toFile
+    out.deleteOnExit()
+    val res = graft.pipeline.AddBenchmark.run(docs, meta, out.getPath, "kore50_converted")
+    new java.io.File(res.benchmarkFile).deleteOnExit()
+    new java.io.File(res.metadataFile).deleteOnExit()
+
+    // re-read the CONVERTED file with the standard reader
+    val facts2 = BenchmarkStatistics.labelFacts(
+      BenchmarkReader.ourJsonl(spark, res.benchmarkFile), EntityMeta.empty)
+    val got = BenchmarkStatistics.tagHistogram(facts2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = golden("tags")
+    Seq("capitalized", "lowercased", "non_alpha", "unknown", "unknown_nil",
+      "unknown_no_mapping", "optional", "root", "child").foreach { k =>
+      assert(got.getOrElse(k, 0L) == want(k).num.toLong, s"converted tag $k")
+    }
+    val gotTypes = BenchmarkStatistics.typeHistogram(facts2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("Q215627", "Q43229", "Q27096213", "OTHER").foreach { k =>
+      assert(gotTypes.getOrElse(k, 0L) == golden("types")(k).num.toLong, s"converted type $k")
+    }
+    val gotMt = BenchmarkStatistics.mentionTypeHistogram(facts2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("entity_named", "entity_non_named", "entity_unknown").foreach { k =>
+      assert(gotMt.getOrElse(k, 0L) == golden("mention_types")(k).num.toLong,
+        s"converted mention type $k")
+    }
+    val stats = BenchmarkStatistics.textStatistics(
+      BenchmarkReader.ourJsonl(spark, res.benchmarkFile)).head()
+    assert(stats.getLong(0) == 50L && stats.getLong(1) ==
+      golden("text_statistics")("labels").num.toLong)
+  }
+
   test("word/sentence divergence vs spaCy is PINNED numerically (A12 declared divergence)") {
     // The reference counts words/sents with spaCy en_core_web_lg (a
     // statistical model: utils.compute_num_words over non-punct tokens,

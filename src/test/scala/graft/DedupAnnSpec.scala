@@ -122,6 +122,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(maxDeg < 400, s"cap had no effect (degree $maxDeg)")
   }
 
+  test("survivors: planted dup families collapse to one keeper, tiers labeled, partitioning-invariant") {
+    val d = docs(80)
+    val dec = Dedup.survivors(d, "doc_id", "text",
+      shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = dec.map(t => t._1 -> t).toMap
+    // every input row gets exactly one decision
+    assert(dec.length == d.count())
+    // planted exact dup (id+2000 == id) drops as "exact" onto the base id
+    (0 until 10).foreach { i =>
+      val (_, surv, tier) = byId(i + 2000L)
+      assert(surv == i.toLong && tier == "exact", s"exact dup $i: ($surv, $tier)")
+    }
+    // planted near dup (id+1000, one word changed) drops as near/exact onto
+    // a family whose survivor is the base id
+    (0 until 20).foreach { i =>
+      val (_, surv, tier) = byId(i + 1000L)
+      assert(surv == i.toLong && tier != "keep", s"near dup $i: ($surv, $tier)")
+    }
+    // keepers keep themselves; families have exactly one keeper
+    dec.foreach { case (id, surv, tier) =>
+      assert((tier == "keep") == (id == surv))
+      assert(byId(surv)._3 == "keep", s"survivor $surv of $id is not a keeper")
+    }
+    // partitioning-invariance: same decisions from a different layout
+    val dec2 = Dedup.survivors(d.repartition(13), "doc_id", "text",
+      shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(dec.sortBy(_._1).toSeq == dec2.sortBy(_._1).toSeq)
+  }
+
   test("ANN brute-force top-k matches in-JVM exact computation") {
     val rng = new scala.util.Random(5)
     val vecs = (0 until 50).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian()))).toArray
@@ -193,6 +224,32 @@ class DedupAnnSpec extends AnyFunSuite {
       nLists = 16, nProbe = 6)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     assert(ivf1 == ivf2, "IVF output must be partitioning-invariant")
+  }
+
+  test("IVF auto-nLists scales with the corpus and keeps per-cell candidate counts bounded") {
+    // parameter guidance locked as a spec: nLists <= 0 derives ~sqrt(n),
+    // so probe cost per query stays ~nProbe * sqrt(n) instead of decaying
+    // to a partial scan when the corpus grows 10x.
+    assert(Ann.autoNLists(400) == 20)
+    assert(Ann.autoNLists(4000) == 63)
+    assert(Ann.autoNLists(4L * 1000 * 1000 * 1000 * 1000) == 65536) // clamp
+    val rng = new scala.util.Random(13)
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // 10x the recall-test corpus, auto nLists
+    val big = corpus(4000)
+    val (assigned, cents) = Ann.ivfAssign(spark, big, "vec_id", "embedding", nLists = 0)
+    assert(cents.length == 63)
+    val cells = assigned.groupBy("cell").count()
+      .collect().map(r => r.getLong(1))
+    val mean = 4000.0 / cents.length
+    // Lloyd on gaussian data is imbalanced but bounded: no cell may hold a
+    // corpus-scale fraction (a fixed nLists at 10x data would blow this)
+    assert(cells.max <= 20 * mean, s"max cell ${cells.max} vs mean $mean")
+    // and the probed candidate volume stays ~nProbe * sqrt(n): the mean
+    // cell is sqrt(n)-sized by construction
+    assert(mean <= 2 * math.sqrt(4000))
   }
 
   test("ANN LSH top-k achieves reasonable recall vs brute force") {

@@ -104,4 +104,53 @@ class DemonymEvalSpec extends AnyFunSuite {
     assert(demonymLabelsChecked >= 14,
       "fixture must exercise demonym/metonymy/rare/partial-name labels in both modes")
   }
+
+  test("KbMetaLoader directory load reproduces the demonym/metonymy/rare goldens end-to-end") {
+    // same goldens, but EVERY mapping flows through the COMPOSED loader
+    // from a crafted small-data-files-layout directory — no hand-built
+    // maps (the reference's linking_system.load_missing_mappings path).
+    val dir = Files.createTempDirectory("kbmeta").toFile
+    dir.deleteOnExit()
+    def write(name: String, content: String): Unit = {
+      val p = dir.toPath.resolve(name)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+      p.toFile.deleteOnExit()
+    }
+    write("qid_to_demonym.tsv", golden("demonym_tsv").str)
+    write("entity_to_types.tsv",
+      fields(golden("type_db")).toSeq.sortBy(_._1)
+        .map { case (q, ts) => (q +: ts.arr.map(_.str)).mkString("\t") }
+        .mkString("\n"))
+    write("entity_to_name.tsv",
+      fields(golden("names")).toSeq.sortBy(_._1)
+        .map { case (q, n) => s"$q\t${n.str}" }.mkString("\n"))
+    write("hyperlink_to_most_popular_candidates.tsv",
+      fields(golden("most_popular")).toSeq.sortBy(_._1)
+        .map { case (a, qs) => s"$a\t${qs.arr.map(_.str).mkString(",")}" }
+        .mkString("\n"))
+
+    val meta = graft.sources.KbMetaLoader.load(spark, dir.getPath)
+    // loader-assembled metas equal the hand-built ones of the test above
+    assert(meta.entityMeta.types ===
+      fields(golden("type_db")).map { case (k, v) => k -> v.arr.map(_.str).toSeq })
+    assert(meta.errorMeta.demonyms.nonEmpty && meta.errorMeta.mostPopularCandidates.nonEmpty)
+
+    val articles = golden("articles").arr
+    val goldenCases = golden("cases").arr
+    articles.zip(goldenCases).zipWithIndex.foreach { case ((art, gcs), docIdx) =>
+      val doc = docFrom(art)
+      val ours = CaseLogic.generateCases(doc, meta.entityMeta, meta.errorMeta)
+        .map(c => (c.begin, c.end) -> c).toMap
+      gcs.arr.foreach { g =>
+        val span = (g("span").arr(0).num.toInt, g("span").arr(1).num.toInt)
+        val c = ours.getOrElse(span, fail(s"doc $docIdx: no case for $span"))
+        Seq("IGNORED" -> c.errorsIgnored, "REQUIRED" -> c.errorsRequired).foreach {
+          case (mode, oursLabels) =>
+            val want = g("error_labels")(mode).arr.map(_.str).toSet
+            assert(oursLabels.toSet === want,
+              s"doc $docIdx $span [$mode] via loader: got=${oursLabels.toSet} want=$want")
+        }
+      }
+    }
+  }
 }

@@ -126,6 +126,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quality pipeline fell out of codegen:\n$p")
   }
 
+  test("no catalog query plans a partition-less Window (single-task exchange at scale)") {
+    // A Window with an empty partitionSpec moves EVERY row through one
+    // task ("No Partition Defined for Window" warning) — correct at sf0.1,
+    // dead at 100x. q29 regressed this way in round 2; lock all 53 catalog
+    // queries. The logical plan is inspected (AQE-independent, and eager
+    // builders like q29 stay cheap at sf0.001).
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val lp = fn(spark, dir).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"query $name plans a partition-less Window:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("documents scans prune to the referenced columns") {
     val p = plan(Queries.q8Unigrams(spark, dir))
     val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)

@@ -105,15 +105,23 @@ object Bench {
     val scoreSec = (System.nanoTime() - t0) / 1e9
 
     // edge materialization + connected components (timed separately: the
-    // CC round count depends on graph diameter, not volume)
+    // CC round count depends on graph diameter, not volume — its dozens of
+    // tiny jobs make it the measurement most sensitive to scheduler
+    // latency on a shared VM, so it gets the same min-of-2 discipline as
+    // the catalog; the edge cache is shared so both passes time CC, not
+    // edge materialization)
     val ccSec = if (withCc) {
-      val t1 = System.nanoTime()
       val edges = scored.where(col("is_match")).select(col("a"), col("b")).distinct().cache()
       edges.count()
-      val clusters = Clustering.assign(spark, mentions.select(col("mention_id").as("id")), edges)
-      clusters.count()
+      def ccOnce(): Double = {
+        val t1 = System.nanoTime()
+        val clusters = Clustering.assign(spark, mentions.select(col("mention_id").as("id")), edges)
+        clusters.count()
+        (System.nanoTime() - t1) / 1e9
+      }
+      val cc = math.min(ccOnce(), ccOnce())
       edges.unpersist()
-      (System.nanoTime() - t1) / 1e9
+      cc
     } else 0.0
     mentions.unpersist(); keyed.unpersist()
     (nScored, scoreSec, ccSec)

@@ -94,6 +94,20 @@ object SparkEntry {
       graft.er.Blocking.keyed(ErQueries.mentions(s, d), graft.er.Blocking.Config())),
     "aux_oracle_counter_rows" -> (EvalQueries.auxOracleCounterRows(_, _)),
     "aux_baseline_counter_rows" -> (EvalQueries.auxBaselineCounterRows(_, _)),
+    // sub-bucketed blocking relation with scoring attributes: lets DuckDB
+    // replay the pair self-join + dedup + jaccard/score/is_match/lev of
+    // er_scored_pairs (jw is the one engine-joined scalar — golden-tested
+    // against the reference separately)
+    "aux_keyed" -> ((s, d) =>
+      graft.er.Blocking.keyedWithAttrs(ErQueries.mentions(s, d), graft.er.Blocking.Config())),
+    // decoded media features / sampled frames pre-aggregation
+    "aux_media_decoded" -> ((s, d) =>
+      graft.multimodal.Multimodal.decodeAndFeatures(
+        graft.multimodal.Multimodal.syntheticMedia(s, TrainingDataQueries.mediaCountFor(d))).toDF()),
+    "aux_media_frames" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.syntheticMedia(s, TrainingDataQueries.mediaCountFor(d)), stride = 2)
+        .drop("frame")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,5 +153,9 @@ object SparkEntry {
     "ta_langid" -> AuxOracles.taLangidSql,
     "ta_quality" -> AuxOracles.taQualitySql,
     "ann_brute_topk" -> AuxOracles.annBruteTopkSql,
+    "er_scored_pairs" -> AuxOracles.erScoredPairsSql,
+    "er_pairwise_eval" -> AuxOracles.erPairwiseEvalSql,
+    "mm_media_stats" -> AuxOracles.mmMediaStatsSql,
+    "mm_frame_sample" -> AuxOracles.mmFrameSampleSql,
   )
 }

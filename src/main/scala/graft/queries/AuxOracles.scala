@@ -148,6 +148,67 @@ object AuxOracles {
       |    - 0.3 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END))) AS quality
       |FROM m""".stripMargin
 
+  /** Pair-universe replay: the self-join on the dumped SUB-BUCKETED
+    * blocking relation reproduces the engine's candidate pairs exactly
+    * (the skew sub-bucketing already happened upstream of the dump), and
+    * DuckDB recomputes dedup, set-Jaccard over the sorted ctx hashes,
+    * score, the match rule, and Levenshtein. jw is the single
+    * engine-joined scalar (custom Jaro-Winkler — golden/property-tested
+    * elsewhere); a LEFT join keeps any oracle-only pair alive as a NULL
+    * mismatch instead of hiding it. */
+  val erScoredPairsSql: String =
+    """WITH k AS (SELECT * FROM '{OUT}/aux_keyed/*.parquet'),
+      |p AS (SELECT DISTINCT l.id AS a, r.id AS b, l.ns AS ns_a, r.ns AS ns_b,
+      |             l.ctx AS ctx_a, r.ctx AS ctx_b, l.gold AS gold_a, r.gold AS gold_b
+      |      FROM k l JOIN k r ON l.bkey = r.bkey AND l.id < r.id),
+      |e AS (SELECT a, b, jw FROM '{OUT}/er_scored_pairs/*.parquet'),
+      |s AS (SELECT p.a, p.b, p.gold_a, p.gold_b, e.jw, p.ns_a, p.ns_b,
+      |        CASE WHEN length(list_distinct(list_concat(ctx_a, ctx_b))) = 0 THEN 0.0
+      |             ELSE CAST(length(list_distinct(list_intersect(ctx_a, ctx_b))) AS DOUBLE)
+      |                  / length(list_distinct(list_concat(ctx_a, ctx_b))) END AS jaccard
+      |      FROM p LEFT JOIN e ON p.a = e.a AND p.b = e.b)
+      |SELECT a, b, gold_a, gold_b, jw, jaccard,
+      |       0.6 * jw + 0.4 * jaccard AS score,
+      |       ((jw >= 0.92 AND 0.6 * jw + 0.4 * jaccard >= 0.80)
+      |        OR jaccard >= 0.60) AS is_match,
+      |       CASE WHEN (jw >= 0.92 AND 0.6 * jw + 0.4 * jaccard >= 0.80)
+      |                 OR jaccard >= 0.60
+      |            THEN levenshtein(ns_a, ns_b) ELSE -1 END AS lev
+      |FROM s""".stripMargin
+
+  /** Pairwise-F1 replay over the dumped pair universe + cluster
+    * assignment: gold/pred pair agreement, TP/FP/FN sums, P/R/F1 doubles
+    * (identical IEEE expression tree to PairEval.pairwise). */
+  val erPairwiseEvalSql: String =
+    """WITH s AS (SELECT a, b, gold_a, gold_b FROM '{OUT}/er_scored_pairs/*.parquet'),
+      |c AS (SELECT id, cluster FROM '{OUT}/er_clusters/*.parquet'),
+      |j AS (SELECT (s.gold_a = s.gold_b) AS gp, (ca.cluster = cb.cluster) AS pp
+      |      FROM s JOIN c ca ON s.a = ca.id JOIN c cb ON s.b = cb.id),
+      |t AS (SELECT CAST(sum(CASE WHEN gp AND pp THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |             CAST(sum(CASE WHEN NOT gp AND pp THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |             CAST(sum(CASE WHEN gp AND NOT pp THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      |      FROM j),
+      |pr AS (SELECT tp, fp, fn,
+      |         CASE WHEN tp + fp = 0 THEN 0.0
+      |              ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+      |         CASE WHEN tp + fn = 0 THEN 0.0
+      |              ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS r
+      |       FROM t)
+      |SELECT tp, fp, fn, p AS "precision", r AS recall,
+      |       CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f1
+      |FROM pr""".stripMargin
+
+  val mmMediaStatsSql: String =
+    """SELECT kind, count(*) AS n,
+      |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      |       CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+      |       CAST(round(avg(mean_intensity) * 1e6) AS BIGINT) AS avg_intensity_ppm
+      |FROM '{OUT}/aux_media_decoded/*.parquet' GROUP BY kind""".stripMargin
+
+  val mmFrameSampleSql: String =
+    """SELECT media_id, count(*) AS n_frames, max(frame_bytes) AS frame_bytes
+      |FROM '{OUT}/aux_media_frames/*.parquet' GROUP BY media_id""".stripMargin
+
   /** Exact brute-force ANN replay: cross join + window in DuckDB, ranked
     * by list_cosine_similarity under the same (cosine DESC, nbr ASC) total
     * order the engine uses. */

@@ -85,12 +85,18 @@ object TrainingDataQueries {
       col("doc_id"),
       TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))
 
-  private def mediaCountFor(dir: String): Long =
+  private[graft] def mediaCountFor(dir: String): Long =
     ErQueries.pageCountFor(dir) / 2
 
   def mmMediaStats(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaStats(
       Multimodal.decodeAndFeatures(Multimodal.syntheticMedia(spark, mediaCountFor(dir))))
+      // ppm-pinned intensity: a double avg is summed in partition order in
+      // Spark but file order in DuckDB — 1-ulp drift that the hash gate
+      // would flag as a false failure; the library surface keeps the double
+      .withColumn("avg_intensity_ppm",
+        round(col("avg_intensity") * 1e6).cast("bigint"))
+      .drop("avg_intensity")
 
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, mediaCountFor(dir)), stride = 2)

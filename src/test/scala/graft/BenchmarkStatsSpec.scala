@@ -116,6 +116,35 @@ class BenchmarkStatsSpec extends AnyFunSuite {
       golden("text_statistics")("labels").num.toLong)
   }
 
+  test("add_benchmark writer round-trips wiki-fair-v2 (nested/optional/desc/coref labels) exactly") {
+    // wiki-fair-v2 exercises every conditional label field the writer
+    // emits (parent, children, optional, desc, coref); the written file
+    // re-read through the standard reader must reproduce the enriched
+    // docs bit-for-bit.
+    val docs = BenchmarkReader.ourJsonl(
+      spark, "/root/reference/benchmarks/wiki-fair-v2.benchmark.jsonl")
+    val out = java.nio.file.Files.createTempDirectory("addbench2").toFile
+    out.deleteOnExit()
+    val res = graft.pipeline.AddBenchmark.run(
+      docs, EntityMeta.empty, out.getPath, "wikifair_rt")
+    new java.io.File(res.benchmarkFile).deleteOnExit()
+    new java.io.File(res.metadataFile).deleteOnExit()
+    // EntityMeta.empty: enrichment maps every non-unknown, non-QUANTITY/
+    // DATETIME label to (Nil types, "Unknown" name) — the round-trip must
+    // preserve exactly THAT enriched content
+    val want = graft.pipeline.AddBenchmark.enrich(docs, EntityMeta.empty)
+      .collect().map(d => d.url -> d).toMap
+    val got = BenchmarkReader.ourJsonl(spark, res.benchmarkFile)
+      .collect().map(d => d.url -> d).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (url, w) =>
+      val g = got(url)
+      assert(g.text === w.text, s"$url text")
+      assert((g.evalBegin, g.evalEnd) === ((w.evalBegin, w.evalEnd)), s"$url span")
+      assert(g.labels.sortBy(_.id) === w.labels.sortBy(_.id), s"$url labels")
+    }
+  }
+
   test("word/sentence divergence vs spaCy is PINNED numerically (A12 declared divergence)") {
     // The reference counts words/sents with spaCy en_core_web_lg (a
     // statistical model: utils.compute_num_words over non-punct tokens,

@@ -21,19 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dedup signature caches are per-dump scratch — release like Bench
+      // does, or they accumulate across the ~60-dump session
+      graft.dedup.Dedup.releaseSignatures()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = "\"" + graft.util.Json.esc(s) + "\""
     // `{OUT}` in oracle SQL resolves to this run's dump directory, so an
     // oracle can read the aux parquet inputs dumped above (absolute path:
     // the driver's DuckDB process need not share our cwd).

@@ -43,15 +43,7 @@ object AddBenchmark {
     }
   }
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def esc(s: String): String = graft.util.Json.esc(s)
 
   private def labelJson(l: GtLabel): String = {
     val sb = new StringBuilder

@@ -26,14 +26,7 @@ object Pipeline {
 
   final case class StageResult(name: String, df: DataFrame, fromSnapshot: Boolean)
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def esc(s: String): String = graft.util.Json.esc(s)
 
   def manifestPath(root: String, stage: String) = s"$root/$stage/manifest.json"
   def dataPath(root: String, stage: String) = s"$root/$stage/data"

@@ -72,11 +72,23 @@ object AuxOracles {
       |       + length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
       |FROM documents""".stripMargin
 
+  /** The exact Character.isWhitespace set as an RE2 class — RE2's `\s` is
+    * ASCII-only, so a Unicode space (em-space, line separator …) would
+    * diverge from the engine and fail the gate on a correct answer.
+    * isWhitespace = 09-0D, 1C-1F, space, OGHAM, the breaking 2000-200A
+    * range (2007 figure space excluded), 2028/2029, 205F, 3000. */
+  private val WsClass =
+    """[\t-\r\x{1c}-\x{1f} \x{1680}\x{2000}-\x{2006}\x{2008}-\x{200a}\x{2028}\x{2029}\x{205f}\x{3000}]"""
+
   /** The FNV-style rolling fingerprint as HUGEINT arithmetic: fold
     * (xor(h, c) * prime) mod 2^64 over the normalized text's code units,
-    * then map the unsigned result back to the signed BIGINT Spark emits. */
+    * then map the unsigned result back to the signed BIGINT Spark emits.
+    * Residual declared divergence: DuckDB lower() is full-string Unicode
+    * (e.g. U+0130 expands to two code points) vs the engine's per-char
+    * Character.toLowerCase — identical on everything but a handful of
+    * special-casing letters. */
   val taFingerprintSql: String =
-    """SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808
+    s"""SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808
       |                         THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint
       |FROM (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
       |        list_transform(range(1, length(norm) + 1),
@@ -84,7 +96,7 @@ object AuxOracles {
       |        (a, b) -> (xor(a, b) * 1099511628211) % 18446744073709551616) AS h
       |      FROM (SELECT doc_id,
       |              regexp_replace(regexp_replace(regexp_replace(lower(text),
-      |                '\s', ' ', 'g'), ' +', ' ', 'g'), '^ ', '') AS norm
+      |                '$WsClass', ' ', 'g'), ' +', ' ', 'g'), '^ ', '') AS norm
       |            FROM documents))""".stripMargin
 
   val taLangidSql: String = {
@@ -92,12 +104,17 @@ object AuxOracles {
     val de = "['der','die','das','und','ist','von','mit','ein','eine','nicht','auf','für','im']"
     val es = "['el','la','los','las','de','que','y','en','un','una','es','por','con']"
     val fr = "['le','la','les','de','des','et','est','un','une','dans','que','pour','qui']"
+    // whitespace via the exact isWhitespace class (see WsClass), and the
+    // CJK count over the engine's exact UnicodeBlocks (base
+    // CJK_UNIFIED_IDEOGRAPHS + kana) — RE2's \p{Han} also matches
+    // extensions/compatibility blocks the engine does not count
     raw"""WITH t AS (
        |  SELECT doc_id,
        |    list_transform(list_filter(regexp_split_to_array(text,
        |      '[^\p{L}\p{Nd}_'']+'), w -> w <> ''), w -> lower(w)) AS toks,
-       |    length(regexp_replace(text, '\s', '', 'g')) AS total,
-       |    length(regexp_replace(text, '[^\p{Han}\p{Hiragana}\p{Katakana}]', '', 'g')) AS cjk
+       |    length(regexp_replace(text, '$WsClass', '', 'g')) AS total,
+       |    length(regexp_replace(text,
+       |      '[^\x{4e00}-\x{9fff}\x{3040}-\x{309f}\x{30a0}-\x{30ff}]', '', 'g')) AS cjk
        |  FROM documents),
        |s AS (
        |  SELECT doc_id, toks, total, cjk,

@@ -164,16 +164,22 @@ object Ann extends Serializable {
       vecCol: String,
       nLists: Int,
       iters: Int = 3,
-      trainSample: Int = 4096): (DataFrame, Array[Array[Double]]) = {
+      trainSample: Int = 4096):
+      (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v")).as[(Long, Seq[Double])]
     val lists = if (nLists > 0) nLists else autoNLists(base.count())
 
-    // deterministic training sample: the trainSample smallest splitmix64(id)
+    // deterministic training sample: the smallest splitmix64(id) rows. The
+    // sample must be at least as large as the list count, or the auto
+    // sizing silently degrades: lists > sample.length would train only
+    // sample.length centroids and cell population reverts to n/trainSample
+    // -- exactly the partial-scan decay autoNLists exists to prevent.
+    val effTrain = math.max(trainSample, lists)
     val sample = base
       .map { case (id, v) => (graft.synth.Synth.splitmix64(id), id, v.toArray) }
-      .toDF("h", "id", "v").orderBy(col("h"), col("id")).limit(trainSample)
+      .toDF("h", "id", "v").orderBy(col("h"), col("id")).limit(effTrain)
       .select(col("id"), col("v")).as[(Long, Array[Double])].collect()
     require(sample.nonEmpty, "ivfTopK: empty corpus")
     var centroids: Array[Array[Double]] =
@@ -201,7 +207,7 @@ object Ann extends Serializable {
     val assigned = base.map { case (id, v) =>
       (nearestCell(centB.value, v.toArray), id, v)
     }.toDF("cell", "nbr_id", "cv")
-    (assigned, centroids)
+    (assigned, centB)
   }
 
   private def nearestCell(cs: Array[Array[Double]], v: Array[Double]): Int = {
@@ -218,15 +224,16 @@ object Ann extends Serializable {
   /** Probe + exact re-rank stage of ivfTopK over a built index. */
   private[graft] def ivfSearch(
       spark: SparkSession,
-      index: (DataFrame, Array[Array[Double]]),
+      index: (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]),
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
       nProbe: Int): DataFrame = {
     import spark.implicits._
-    val (assigned, centroids) = index
-    val centB = spark.sparkContext.broadcast(centroids)
+    // reuse the assignment stage's broadcast -- re-broadcasting the same
+    // nLists x dim doubles would ship a redundant multi-MB block per call
+    val (assigned, centB) = index
 
     // queries probe their nProbe nearest cells
     val probes = queries.select(col(idCol).cast("long").as("query_id"),

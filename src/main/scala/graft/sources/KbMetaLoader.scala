@@ -57,9 +57,13 @@ object KbMetaLoader {
   def entityTypes(spark: SparkSession, path: String): DataFrame =
     spark.read.textFile(path).toDF("value")
       .select(split(col("value"), "\t").as("parts"))
+      // length = size(parts), NOT Int.MaxValue: interpreted Slice computes
+      // startIdx + length as a raw int (wraps negative -> empty array), so
+      // a MaxValue length silently drops every type row whenever a stage
+      // falls back from codegen
       .select(
         element_at(col("parts"), 1).as("entity_id"),
-        slice(col("parts"), 2, java.lang.Integer.MAX_VALUE).as("types"))
+        slice(col("parts"), lit(2), size(col("parts"))).as("types"))
 
   /** alias \t comma-joined candidate qids (the LMDB dim as TSV). */
   def mostPopularTsv(spark: SparkSession, path: String): DataFrame =

@@ -89,4 +89,69 @@ object Streaming {
         })
       .toDF()
   }
+
+  /** Streaming NEAR-DUP candidate pairs — the stateful twin of
+    * Dedup.minhashPairs: each doc's minhash signature is banded
+    * (graft.dedup.Dedup.minhash over char shingles, same hash family as
+    * the batch path), the stream is keyed by band bucket, and each bucket
+    * keeps its most recent `maxPerBucket` (id, signature) rows in the
+    * state store. An arriving doc is verified (full-signature agreement
+    * ratio, the batch path's unbiased Jaccard estimate) against the
+    * bucket's state — so near-dups are found ACROSS micro-batches, not
+    * just within one.
+    *
+    * Scale shape: state is bounded per bucket (FIFO eviction — a
+    * recency-window dedup, the standard streaming tradeoff vs the batch
+    * tier's full history); buckets partition the state across executors.
+    * A pair sharing several bands is emitted once per agreeing band —
+    * downstream consumers drop duplicates (kept inside the operator the
+    * emission would need cross-bucket state).
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def streamingMinhashPairs(
+      docs: org.apache.spark.sql.Dataset[(Long, String)],
+      shingleK: Int = 5,
+      nHashes: Int = 64,
+      rowsPerBand: Int = 8,
+      minJaccard: Double = 0.5,
+      maxPerBucket: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.dedup.Dedup
+    val nBands = nHashes / rowsPerBand
+    val banded = docs.flatMap { case (id, text) =>
+      val sig = Dedup.minhash(Dedup.charShingles(text, shingleK), nHashes)
+      (0 until nBands).map { b =>
+        val band = java.util.Arrays.copyOfRange(sig, b * rowsPerBand, (b + 1) * rowsPerBand)
+        val h = band.foldLeft(0x13579BDFL)((a, v) => graft.synth.Synth.splitmix64(a ^ v))
+        (b + ":" + java.lang.Long.toHexString(h), id, sig)
+      }
+    }
+    banded
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[(String, Long, Array[Long])],
+         state: GroupState[List[(Long, Array[Long])]]) => {
+          var pool = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          // batch-local determinism: process in ascending id order
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            if (!pool.exists(_._1 == id)) {
+              pool.foreach { case (oid, osig) =>
+                var agree = 0
+                var i = 0
+                while (i < sig.length) { if (sig(i) == osig(i)) agree += 1; i += 1 }
+                val est = agree.toDouble / sig.length
+                if (est >= minJaccard) {
+                  out += (if (id < oid) (id, oid, est) else (oid, id, est))
+                }
+              }
+              pool = ((id, sig) :: pool).take(maxPerBucket) // FIFO recency window
+            }
+          }
+          state.update(pool)
+          out.result().iterator
+        })
+      .toDF("id_a", "id_b", "est_jaccard")
+  }
 }

@@ -240,10 +240,10 @@ class DedupAnnSpec extends AnyFunSuite {
     // 10x the recall-test corpus, auto nLists
     val big = corpus(4000)
     val (assigned, cents) = Ann.ivfAssign(spark, big, "vec_id", "embedding", nLists = 0)
-    assert(cents.length == 63)
+    assert(cents.value.length == 63)
     val cells = assigned.groupBy("cell").count()
       .collect().map(r => r.getLong(1))
-    val mean = 4000.0 / cents.length
+    val mean = 4000.0 / cents.value.length
     // Lloyd on gaussian data is imbalanced but bounded: no cell may hold a
     // corpus-scale fraction (a fixed nLists at 10x data would blow this)
     assert(cells.max <= 20 * mean, s"max cell ${cells.max} vs mean $mean")

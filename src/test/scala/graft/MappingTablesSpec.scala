@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{MappingTables, TypeAdjustments}
+import graft.sources.{CustomMappings, KbMetaLoader, MappingTables, TypeAdjustments}
 
 /** S7 mapping-table readers + F7 type adjustments vs goldens produced by
   * EXECUTING the reference (tools/gen_mapping_fixtures.py →
@@ -149,5 +149,58 @@ class MappingTablesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     assert(got("e_replace") === List("Q215627"))
     assert(got("e_remove_skips_next") === List("Q999", "Q215627"))
+  }
+
+  test("extract_custom_mappings: turtle -> three TSVs, loadable end-to-end by KbMetaLoader") {
+    val ttl =
+      """@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |@prefix ex: <http://example.org/> .
+        |ex:e1 skos:prefLabel "Alpha Corp" ; rdfs:subClassOf ex:company .
+        |ex:e2 skos:prefLabel "Beta" ; rdfs:subClassOf ex:company, ex:startup .
+        |ex:company skos:prefLabel "Company" .
+        |""".stripMargin
+    val ex = CustomMappings.extract(ttl)
+    val EX = "http://example.org/"
+    assert(ex.entityToName.toMap ===
+      Map(s"${EX}e1" -> "Alpha Corp", s"${EX}e2" -> "Beta", s"${EX}company" -> "Company"))
+    assert(ex.entityToTypes.toMap ===
+      Map(s"${EX}e1" -> Seq(s"${EX}company"),
+        s"${EX}e2" -> Seq(s"${EX}company", s"${EX}startup")))
+    // whitelist: a type with its own prefLabel keeps it, unnamed types -> OTHER
+    assert(ex.whitelistTypes.toMap ===
+      Map(s"${EX}company" -> "Company", s"${EX}startup" -> "OTHER"))
+
+    val dir = java.nio.file.Files.createTempDirectory("custommap").toFile
+    dir.deleteOnExit()
+    CustomMappings.writeFiles(ex, dir.getPath)
+    val meta = KbMetaLoader.load(spark, dir.getPath)
+    assert(meta.entityMeta.name(s"${EX}e1") == "Alpha Corp")
+    assert(meta.entityMeta.types(s"${EX}e2") === Seq(s"${EX}company", s"${EX}startup"))
+    assert(meta.whitelist(s"${EX}startup") == "OTHER")
+  }
+
+  test("KbMetaLoader loads gender / coref-types / quantity / datetime files (reference semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("kbmeta2").toFile
+    dir.deleteOnExit()
+    def write(name: String, content: String): Unit = {
+      val p = dir.toPath.resolve(name)
+      java.nio.file.Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+      p.toFile.deleteOnExit()
+    }
+    write("qid_to_gender.tsv", "Q1\tfemale organism\nQ2\tmale\nQ3\ttrans woman\n")
+    write("qid_to_coreference_types.tsv", "Q1\tperson;artist\nQ2\t\n")
+    write("quantity.tsv", "Q11\nQ12\n")
+    write("datetime.tsv", "Q21\n")
+    val meta = KbMetaLoader.load(spark, dir.getPath)
+    // gender tokenization: a "female" token wins, then "male"; otherwise OTHER
+    assert(meta.gender === Map("Q1" -> "FEMALE", "Q2" -> "MALE", "Q3" -> "OTHER"))
+    // empty coref value = Python "".split(";") = [""]
+    assert(meta.corefTypes === Map("Q1" -> Seq("person", "artist"), "Q2" -> Seq("")))
+    assert(meta.entityMeta.quantities === Set("Q11", "Q12"))
+    assert(meta.entityMeta.datetimes === Set("Q21"))
+    // determineType consults the quantity/datetime sets first
+    assert(meta.entityMeta.determineType("Q11") == "QUANTITY")
+    assert(meta.entityMeta.determineType("Q21") == "DATETIME")
   }
 }

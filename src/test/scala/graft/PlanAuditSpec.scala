@@ -126,21 +126,66 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quality pipeline fell out of codegen:\n$p")
   }
 
-  test("no catalog query plans a partition-less Window (single-task exchange at scale)") {
+  test("no catalog query plans OR EXECUTES a partition-less Window (single-task exchange at scale)") {
     // A Window with an empty partitionSpec moves EVERY row through one
     // task ("No Partition Defined for Window" warning) — correct at sf0.1,
-    // dead at 100x. q29 regressed this way in round 2; lock all 53 catalog
-    // queries. The logical plan is inspected (AQE-independent, and eager
-    // builders like q29 stay cheap at sf0.001).
-    graft.SparkEntry.queries.foreach { case (name, fn) =>
-      val lp = fn(spark, dir).queryExecution.optimizedPlan
-      val bad = lp.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
+    // dead at 100x. q29 regressed this way in round 2. Two layers:
+    //   1. the returned DataFrame's logical plan (precise, AQE-free);
+    //   2. a QueryExecutionListener over an actual execution of every
+    //      query — this also catches windows inside EAGER builder-side
+    //      jobs (er_pairwise_eval's internal pipeline, q29's sample/size
+    //      collects) that never appear in the returned plan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def inner(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        seen.incrementAndGet()
+        val hits = inner(qe.executedPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+        }
+        hits.foreach(h => bad.add(h + " in: " + qe.logical.nodeName))
+      }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.SparkEntry.queries.foreach { case (name, fn) =>
+        val df = fn(spark, dir)
+        val lp = df.queryExecution.optimizedPlan
+        val badLogical = lp.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(badLogical.isEmpty,
+          s"query $name plans a partition-less Window:\n${badLogical.mkString("\n")}")
+        df.count() // execute so the listener sees the physical plan too
+      }
+      // flush: the listener bus is async FIFO — wait until event count is
+      // stable (all executions above have been observed)
+      var stable = 0
+      var last = -1L
+      while (stable < 3) {
+        Thread.sleep(200)
+        val now = seen.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
       }
       assert(bad.isEmpty,
-        s"query $name plans a partition-less Window:\n${bad.mkString("\n")}")
-    }
+        s"partition-less Window executed:\n${bad.toArray.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("documents scans prune to the referenced columns") {

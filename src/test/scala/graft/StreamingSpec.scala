@@ -87,6 +87,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming near-dup: pairs found across triggers, agrees with batch minhash") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 40).map(_ => "w" + rng.nextInt(400)).mkString(" "))
+    }
+    // near-dups of docs 0-5 arrive in a LATER trigger (ids 100+)
+    val dups = base.take(6).map { case (id, t) =>
+      (id + 100L, t.split(' ').updated(2, "CHANGED").mkString(" "))
+    }
+    val dir = Files.createTempDirectory("neardup_stream").toString
+    base.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    val input = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[(Long, String)]
+    val q = Streaming.streamingMinhashPairs(input)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      dups.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_stream")
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every planted cross-trigger near-dup is found (state persisted)
+      (0 until 6).foreach { i =>
+        assert(pairs.contains((i.toLong, i + 100L)),
+          s"cross-trigger near-dup ($i, ${i + 100}) missed; got $pairs")
+      }
+      // agreement with the batch tier on the same corpus
+      val batchPairs = graft.dedup.Dedup.minhashPairs(
+        (base ++ dups).toDF("doc_id", "text"), "doc_id", "text",
+        shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.5)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === batchPairs,
+        s"streaming pair set diverges from batch: extra=${pairs -- batchPairs} missing=${batchPairs -- pairs}")
+    } finally q.stop()
+  }
+
   test("watermarked window aggregation over the events table") {
     // the file source needs a directory; restage the single-file table
     val eventsDir = Files.createTempDirectory("events_stream").toString

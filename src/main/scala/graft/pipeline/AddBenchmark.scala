@@ -45,28 +45,10 @@ object AddBenchmark {
 
   private def esc(s: String): String = graft.util.Json.esc(s)
 
-  private def labelJson(l: GtLabel): String = {
-    val sb = new StringBuilder
-    sb ++= s"""{"id": ${l.id}, "span": [${l.begin}, ${l.end}], """
-    sb ++= s""""entity_id": "${esc(l.entityId)}", "name": "${esc(l.name)}", """
-    // reference writes "|".join(types) — empty list becomes ""
-    sb ++= s""""type": "${esc(l.types.mkString("|"))}""""
-    l.parent.foreach(p => sb ++= s""", "parent": $p""")
-    if (l.children.nonEmpty) sb ++= s""", "children": [${l.children.mkString(", ")}]"""
-    if (l.optionalFlag) sb ++= s""", "optional": true"""
-    if (l.desc) sb ++= s""", "desc": true"""
-    l.coref.foreach(c => sb ++= s""", "coref": $c""")
-    sb ++= "}"
-    sb.toString
-  }
-
-  /** One article.to_json (evaluation format) line: id, title, text,
-    * evaluation_span, labels sorted by label id (article.py:40-62). */
-  def toJsonLine(doc: EvalDoc, id: Long): String = {
-    val labels = doc.labels.sortBy(_.id).map(labelJson).mkString(", ")
-    s"""{"id": $id, "title": "${esc(doc.url)}", "text": "${esc(doc.text)}", """ +
-      s""""evaluation_span": [${doc.evalBegin}, ${doc.evalEnd}], "labels": [$labels]}"""
-  }
+  /** One article.to_json (evaluation format) line without predictions —
+    * shared serializer in ArticleJson. */
+  def toJsonLine(doc: EvalDoc, id: Long): String =
+    ArticleJson.line(doc, id, withMentions = false)
 
   final case class Result(
       benchmarkFile: String,

@@ -25,44 +25,10 @@ import graft.util.Json.esc
   */
 object LinkBenchmark {
 
-  /** entity_mention.py:21-36 to_dict (evaluation format): span, id,
-    * recognized_by, linked_by, candidates SORTED. */
-  private def mentionJson(p: PredSpan): String = {
-    val sb = new StringBuilder
-    sb ++= s"""{"span": [${p.begin}, ${p.end}], "id": "${esc(p.entityId)}""""
-    if (p.predictedBy.nonEmpty) {
-      sb ++= s""", "recognized_by": "${esc(p.predictedBy)}""""
-      sb ++= s""", "linked_by": "${esc(p.predictedBy)}""""
-    }
-    sb ++= s""", "candidates": [${p.candidates.sorted.map(c => "\"" + esc(c) + "\"").mkString(", ")}]"""
-    sb ++= "}"
-    sb.toString
-  }
-
-  private def labelJson(l: GtLabel): String = {
-    val sb = new StringBuilder
-    sb ++= s"""{"id": ${l.id}, "span": [${l.begin}, ${l.end}], """
-    sb ++= s""""entity_id": "${esc(l.entityId)}", "name": "${esc(l.name)}", """
-    sb ++= s""""type": "${esc(l.types.mkString("|"))}""""
-    l.parent.foreach(p => sb ++= s""", "parent": $p""")
-    if (l.children.nonEmpty) sb ++= s""", "children": [${l.children.mkString(", ")}]"""
-    if (l.optionalFlag) sb ++= s""", "optional": true"""
-    if (l.desc) sb ++= s""", "desc": true"""
-    l.coref.foreach(c => sb ++= s""", "coref": $c""")
-    sb ++= "}"
-    sb.toString
-  }
-
-  /** One article.to_json line WITH entity_mentions (article.py:40-62:
-    * mentions sorted by span, labels sorted by id). */
-  def toJsonLine(doc: EvalDoc, id: Long): String = {
-    val mentions = doc.predictions.sortBy(p => (p.begin, p.end))
-      .map(mentionJson).mkString(", ")
-    val labels = doc.labels.sortBy(_.id).map(labelJson).mkString(", ")
-    s"""{"id": $id, "title": "${esc(doc.url)}", "text": "${esc(doc.text)}", """ +
-      s""""entity_mentions": [$mentions], """ +
-      s""""evaluation_span": [${doc.evalBegin}, ${doc.evalEnd}], "labels": [$labels]}"""
-  }
+  /** One article.to_json line WITH entity_mentions (and hyperlinks when
+    * present) — shared serializer in ArticleJson. */
+  def toJsonLine(doc: EvalDoc, id: Long): String =
+    ArticleJson.line(doc, id, withMentions = true)
 
   final case class Result(linkedFile: String, metadataFile: String, nArticles: Long)
 

@@ -90,14 +90,22 @@ object AuxOracles {
   val taFingerprintSql: String =
     s"""SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808
       |                         THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint
-      |FROM (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-      |        list_transform(range(1, length(norm) + 1),
-      |                       i -> CAST(unicode(substr(norm, i, 1)) AS HUGEINT))),
+      |FROM (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), units),
       |        (a, b) -> (xor(a, b) * 1099511628211) % 18446744073709551616) AS h
       |      FROM (SELECT doc_id,
+      |              -- the engine folds UTF-16 CODE UNITS (String.charAt);
+      |              -- DuckDB indexes code points, so astral chars expand to
+      |              -- their surrogate pair before the fold
+      |              flatten(list_transform(range(1, length(norm) + 1), i ->
+      |                CASE WHEN unicode(substr(norm, i, 1)) < 65536
+      |                     THEN [CAST(unicode(substr(norm, i, 1)) AS HUGEINT)]
+      |                     ELSE [CAST(55296 + ((unicode(substr(norm, i, 1)) - 65536) // 1024) AS HUGEINT),
+      |                           CAST(56320 + ((unicode(substr(norm, i, 1)) - 65536) % 1024) AS HUGEINT)]
+      |                END)) AS units
+      |            FROM (SELECT doc_id,
       |              regexp_replace(regexp_replace(regexp_replace(lower(text),
       |                '$WsClass', ' ', 'g'), ' +', ' ', 'g'), '^ ', '') AS norm
-      |            FROM documents))""".stripMargin
+      |            FROM documents)))""".stripMargin
 
   val taLangidSql: String = {
     val en = "['the','of','and','to','in','is','was','that','for','with','as','his','her']"

@@ -32,22 +32,38 @@ object BenchmarkReader {
       StructField("optional", BooleanType),
       StructField("desc", BooleanType),
       StructField("coref", BooleanType))))),
-    StructField("hyperlinks", ArrayType(StructType(Seq.empty))), // unused shape varies
+    // heterogeneous [[b, e], target] entries: StringType elements make the
+    // Jackson parser capture each cell's raw JSON ("[113,122]" / "Landgrave")
+    StructField("hyperlinks", ArrayType(ArrayType(StringType))),
     StructField("title_synonyms", ArrayType(ArrayType(IntegerType)))))
+
+  /** Parse one raw hyperlink entry ["[b,e]", "target"] into a span. */
+  private def hyperlinkSpan(entry: Seq[String]): Option[graft.model.Span] =
+    entry.headOption.flatMap { cell =>
+      val nums = cell.replaceAll("[^0-9,-]", "").split(',')
+      if (nums.length >= 2)
+        (nums(0).toIntOption, nums(1).toIntOption) match {
+          case (Some(b), Some(e)) => Some(graft.model.Span(b, e))
+          case _ => None
+        }
+      else None
+    }
 
   /** S1 — read the reference's own JSONL benchmark format into EvalDocs. */
   def ourJsonl(spark: SparkSession, path: String): Dataset[EvalDoc] = {
     import spark.implicits._
     val raw = spark.read.schema(ourJsonlSchema).json(path)
-    raw.select("id", "title", "text", "evaluation_span", "labels")
-      .as[(Option[Long], Option[String], String, Option[Seq[Int]], Option[Seq[RawLabel]])]
-      .map { case (id, title, text, span, labels) =>
+    raw.select("id", "title", "text", "evaluation_span", "labels", "hyperlinks")
+      .as[(Option[Long], Option[String], String, Option[Seq[Int]], Option[Seq[RawLabel]],
+        Option[Seq[Seq[String]]])]
+      .map { case (id, title, text, span, labels, links) =>
         val url = title.filter(_.nonEmpty).getOrElse("article-" + id.getOrElse(0L))
         val (b, e) = span match {
           case Some(Seq(x, y)) => (x, y)
           case _ => (0, text.length)
         }
-        EvalDoc(url, text, b, e, labels.getOrElse(Nil).map(_.toGtLabel), Nil)
+        EvalDoc(url, text, b, e, labels.getOrElse(Nil).map(_.toGtLabel), Nil,
+          hyperlinks = links.getOrElse(Nil).flatMap(hyperlinkSpan))
       }
   }
 
@@ -88,16 +104,19 @@ object BenchmarkReader {
       StructField("id", StringType),
       StructField("recognized_by", StringType),
       StructField("linked_by", StringType),
-      StructField("candidates", ArrayType(StringType))))))))
+      StructField("candidates", ArrayType(StringType)))))),
+    StructField("hyperlinks", ArrayType(ArrayType(StringType)))))
 
   /** Read a reference linked-articles file: labels AND predictions. */
   def linkedArticles(spark: SparkSession, path: String): Dataset[EvalDoc] = {
     import spark.implicits._
     spark.read.schema(linkedArticlesSchema).json(path)
-      .select("id", "title", "text", "evaluation_span", "labels", "entity_mentions")
+      .select("id", "title", "text", "evaluation_span", "labels", "entity_mentions",
+        "hyperlinks")
       .as[(Option[Long], Option[String], String, Option[Seq[Int]], Option[Seq[RawLabel]],
-        Option[Seq[(Seq[Int], String, Option[String], Option[String], Option[Seq[String]])]])]
-      .map { case (id, title, text, span, labels, mentions) =>
+        Option[Seq[(Seq[Int], String, Option[String], Option[String], Option[Seq[String]])]],
+        Option[Seq[Seq[String]]])]
+      .map { case (id, title, text, span, labels, mentions, links) =>
         val url = title.filter(_.nonEmpty).getOrElse("article-" + id.getOrElse(0L))
         val (b, e) = span match {
           case Some(Seq(x, y)) => (x, y)
@@ -106,7 +125,8 @@ object BenchmarkReader {
         val preds = mentions.getOrElse(Nil).map { case (sp, ent, _, linkedBy, cands) =>
           PredSpan(sp.head, sp(1), ent, cands.getOrElse(Nil), linkedBy.getOrElse(""))
         }
-        EvalDoc(url, text, b, e, labels.getOrElse(Nil).map(_.toGtLabel), preds)
+        EvalDoc(url, text, b, e, labels.getOrElse(Nil).map(_.toGtLabel), preds,
+          hyperlinks = links.getOrElse(Nil).flatMap(hyperlinkSpan))
       }
   }
 

@@ -100,12 +100,16 @@ object Streaming {
     * bucket's state — so near-dups are found ACROSS micro-batches, not
     * just within one.
     *
-    * Scale shape: state is bounded per bucket (FIFO eviction — a
-    * recency-window dedup, the standard streaming tradeoff vs the batch
-    * tier's full history); buckets partition the state across executors.
-    * A pair sharing several bands is emitted once per agreeing band —
-    * downstream consumers drop duplicates (kept inside the operator the
-    * emission would need cross-bucket state).
+    * Scale shape: state is bounded along BOTH axes — per bucket
+    * (`maxPerBucket` FIFO recency window, the standard streaming tradeoff
+    * vs the batch tier's full history) and across buckets (buckets idle
+    * for `idleBucketTtl` processing time are expired from the state
+    * store: mostly-unique text mints ~nBands fresh buckets per doc, so
+    * without a TTL total state would grow linearly with every doc ever
+    * seen). Buckets partition the state across executors. A pair sharing
+    * several bands is emitted once per agreeing band — downstream
+    * consumers drop duplicates (keeping the emission unique inside the
+    * operator would need cross-bucket state).
     *
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b. */
   def streamingMinhashPairs(
@@ -114,7 +118,8 @@ object Streaming {
       nHashes: Int = 64,
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
-      maxPerBucket: Int = 64): DataFrame = {
+      maxPerBucket: Int = 64,
+      idleBucketTtl: String = "30 minutes"): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import graft.dedup.Dedup
@@ -127,30 +132,44 @@ object Streaming {
         (b + ":" + java.lang.Long.toHexString(h), id, sig)
       }
     }
+    // idleBucketTtl = "" disables the processing-time timeout: a pending
+    // 30-minute timeout keeps the query's trigger loop alive, which makes
+    // bounded test harnesses built on processAllAvailable() wait on it —
+    // production streams should keep the TTL, or total state grows with
+    // every doc ever seen
+    val timeoutConf =
+      if (idleBucketTtl.isEmpty) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
     banded
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (_: String, rows: Iterator[(String, Long, Array[Long])],
          state: GroupState[List[(Long, Array[Long])]]) => {
-          var pool = state.getOption.getOrElse(Nil)
-          val out = Seq.newBuilder[(Long, Long, Double)]
-          // batch-local determinism: process in ascending id order
-          rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
-            if (!pool.exists(_._1 == id)) {
-              pool.foreach { case (oid, osig) =>
-                var agree = 0
-                var i = 0
-                while (i < sig.length) { if (sig(i) == osig(i)) agree += 1; i += 1 }
-                val est = agree.toDouble / sig.length
-                if (est >= minJaccard) {
-                  out += (if (id < oid) (id, oid, est) else (oid, id, est))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var pool = state.getOption.getOrElse(Nil)
+            val out = Seq.newBuilder[(Long, Long, Double)]
+            // batch-local determinism: process in ascending id order
+            rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+              if (!pool.exists(_._1 == id)) {
+                pool.foreach { case (oid, osig) =>
+                  var agree = 0
+                  var i = 0
+                  while (i < sig.length) { if (sig(i) == osig(i)) agree += 1; i += 1 }
+                  val est = agree.toDouble / sig.length
+                  if (est >= minJaccard) {
+                    out += (if (id < oid) (id, oid, est) else (oid, id, est))
+                  }
                 }
+                pool = ((id, sig) :: pool).take(maxPerBucket) // FIFO recency window
               }
-              pool = ((id, sig) :: pool).take(maxPerBucket) // FIFO recency window
             }
+            state.update(pool)
+            if (idleBucketTtl.nonEmpty) state.setTimeoutDuration(idleBucketTtl)
+            out.result().iterator
           }
-          state.update(pool)
-          out.result().iterator
         })
       .toDF("id_a", "id_b", "est_jaccard")
   }

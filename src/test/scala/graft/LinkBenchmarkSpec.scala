@@ -47,4 +47,29 @@ class LinkBenchmarkSpec extends AnyFunSuite {
     assert(meta("linker_name").str == "oracle")
     assert(meta("experiment_name").str == "oracle-rt")
   }
+
+  test("hyperlinks survive the linked-articles round trip (hyperlink error labels need the spans)") {
+    import spark.implicits._
+    val doc = EvalDoc("hdoc", "Alpha beta gamma delta.", 0, 23,
+      labels = Seq(GtLabel(0, 0, 5, "Q1", "Alpha", None, Nil, optionalFlag = false, Nil, None, desc = false)),
+      predictions = Nil,
+      hyperlinks = Seq(graft.model.Span(0, 5), graft.model.Span(11, 16)))
+    val out = java.nio.file.Files.createTempDirectory("linkbench2").toFile
+    out.deleteOnExit()
+    val res = LinkBenchmark.run(spark.createDataset(Seq(doc)), LinkBenchmark.withOracle,
+      out.getPath, "hl-rt", "synthetic", "oracle")
+    new java.io.File(res.linkedFile).deleteOnExit()
+    new java.io.File(res.metadataFile).deleteOnExit()
+    val back = BenchmarkReader.linkedArticles(spark, res.linkedFile).collect()
+    assert(back.length == 1)
+    assert(back(0).hyperlinks === doc.hyperlinks,
+      s"hyperlink spans lost: ${back(0).hyperlinks}")
+    // and the benchmark writer path carries them too
+    val res2 = graft.pipeline.AddBenchmark.run(
+      spark.createDataset(Seq(doc)), EntityMeta.empty, out.getPath, "hl_bench")
+    new java.io.File(res2.benchmarkFile).deleteOnExit()
+    new java.io.File(res2.metadataFile).deleteOnExit()
+    val back2 = BenchmarkReader.ourJsonl(spark, res2.benchmarkFile).collect()
+    assert(back2(0).hyperlinks === doc.hyperlinks)
+  }
 }

@@ -172,7 +172,10 @@ class PlanAuditSpec extends AnyFunSuite {
         }
         assert(badLogical.isEmpty,
           s"query $name plans a partition-less Window:\n${badLogical.mkString("\n")}")
-        df.count() // execute so the listener sees the physical plan too
+        // execute with ALL columns referenced: count() would let
+        // ColumnPruning erase an unreferenced Window before the listener
+        // could see it
+        df.foreach(_ => ())
       }
       // flush: the listener bus is async FIFO — wait until event count is
       // stable (all executions above have been observed)

@@ -106,7 +106,9 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .as[(Long, String)]
-    val q = Streaming.streamingMinhashPairs(input)
+    // idleBucketTtl = "": a pending processing-time timeout would keep the
+    // trigger loop alive and hang processAllAvailable in this harness
+    val q = Streaming.streamingMinhashPairs(input, idleBucketTtl = "")
       .writeStream.format("memory").queryName("neardup_stream")
       .outputMode("append").start()
     try {

@@ -126,6 +126,25 @@ class TextMultimodalPipelineSpec extends AnyFunSuite {
     assert(nullR.isNullAt(0))
   }
 
+  test("GraftExtensions: all four native expressions callable from SQL; extension injection applies") {
+    graft.GraftExtensions.registerAll(spark)
+    val jw = spark.sql("SELECT jaro_winkler('martha', 'marhta') AS v").head().getDouble(0)
+    assert(math.abs(jw - graft.er.Scoring.jaroWinkler("martha", "marhta")) < 1e-12)
+    val sj = spark.sql(
+      "SELECT sorted_jaccard(array('a','b','c'), array('b','c','d')) AS v").head().getDouble(0)
+    assert(math.abs(sj - 0.5) < 1e-12)
+    val slj = spark.sql(
+      "SELECT sorted_long_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS v").head().getDouble(0)
+    assert(math.abs(slj - 0.5) < 1e-12)
+    val cs = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS v").head().getDouble(0)
+    assert(math.abs(cs - 1.0) < 1e-12)
+    // the spark.sql.extensions wiring accepts the injection
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // wrong arity fails analysis instead of building a bad plan
+    intercept[Exception](spark.sql("SELECT jaro_winkler('a') AS v").collect())
+  }
+
   test("pipeline: stages snapshot, resume skips completed work, manifests carry lineage") {
     val root = Files.createTempDirectory("graft_pipe").toString
     var computesA = 0

@@ -155,6 +155,9 @@ object SparkEntry {
     "ann_brute_topk" -> AuxOracles.annBruteTopkSql,
     "er_scored_pairs" -> AuxOracles.erScoredPairsSql,
     "er_pairwise_eval" -> AuxOracles.erPairwiseEvalSql,
+    "er_clusters" -> AuxOracles.erClustersSql,
+    "dd_survivors" -> AuxOracles.ddSurvivorsSql,
+    "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
     "mm_media_stats" -> AuxOracles.mmMediaStatsSql,
     "mm_frame_sample" -> AuxOracles.mmFrameSampleSql,
   )

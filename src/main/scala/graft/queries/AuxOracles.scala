@@ -234,6 +234,106 @@ object AuxOracles {
     """SELECT media_id, count(*) AS n_frames, max(frame_bytes) AS frame_bytes
       |FROM '{OUT}/aux_media_frames/*.parquet' GROUP BY media_id""".stripMargin
 
+  /** Connected components as a DuckDB recursive CTE — min-label
+    * propagation over the dumped match edges: a (node, candidate-min)
+    * pair spreads to neighbors only while the candidate is smaller than
+    * the receiver, so the fixpoint assigns every node its component
+    * minimum, exactly the engine's large-star/small-star output. The
+    * mention universe comes from the er_mentions dump (singletons keep
+    * themselves). */
+  val erClustersSql: String =
+    """WITH RECURSIVE e AS (SELECT a, b FROM '{OUT}/er_scored_pairs/*.parquet' WHERE is_match),
+      |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      |lab(n, m) AS (
+      |  SELECT greatest(a, b) AS n, least(a, b) AS m FROM e
+      |  UNION
+      |  SELECT u.b AS n, l.m FROM lab l JOIN und u ON l.n = u.a WHERE l.m < u.b),
+      |mn AS (SELECT n, min(m) AS m FROM lab GROUP BY n)
+      |SELECT mm.mention_id AS id, CAST(coalesce(mn.m, mm.mention_id) AS BIGINT) AS cluster
+      |FROM (SELECT mention_id FROM '{OUT}/er_mentions/*.parquet') mm
+      |LEFT JOIN mn ON mm.mention_id = mn.n""".stripMargin
+
+  /** Survivor decision replay: exact edges recomputed from the documents
+    * table (DuckDB's md5 hashes the same UTF-8 bytes as the engine's
+    * md5(cast binary)), near edges from the dumped minhash pair table
+    * (identical parameters by construction), transitive closure via the
+    * same min-label recursion, then the keep/exact/near tiering rules. */
+  val ddSurvivorsSql: String =
+    """WITH RECURSIVE d AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+      |g AS (SELECT h, min(id) AS gmin, count(*) AS gsz FROM d GROUP BY h),
+      |exact_e AS (SELECT d.id AS a, g.gmin AS b FROM d JOIN g ON d.h = g.h WHERE d.id <> g.gmin),
+      |near_e AS (SELECT id_a AS a, id_b AS b FROM '{OUT}/dd_minhash_pairs/*.parquet'),
+      |e AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+      |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      |lab(n, m) AS (
+      |  SELECT greatest(a, b) AS n, least(a, b) AS m FROM e
+      |  UNION
+      |  SELECT u.b AS n, l.m FROM lab l JOIN und u ON l.n = u.a WHERE l.m < u.b),
+      |mn AS (SELECT n, min(m) AS m FROM lab GROUP BY n)
+      |SELECT d.id, CAST(coalesce(mn.m, d.id) AS BIGINT) AS survivor_id,
+      |  CASE WHEN coalesce(mn.m, d.id) = d.id THEN 'keep'
+      |       WHEN g.gsz > 1 THEN 'exact' ELSE 'near' END AS tier
+      |FROM d JOIN g ON d.h = g.h LEFT JOIN mn ON d.id = mn.n""".stripMargin
+
+  /** 64x64→64-bit wrapping multiply as 32-bit-limb HUGEINT arithmetic
+    * (a full 64x64 product can reach 2^128 and overflows INT128). */
+  private def mulMod64(z: String, c: Long): String = {
+    val cl = c & 0xFFFFFFFFL
+    val ch = (c >>> 32) & 0xFFFFFFFFL
+    s"((($z) % 4294967296) * $cl + " +
+      s"(((($z) % 4294967296) * $ch + (($z) // 4294967296) * $cl) % 4294967296) * 4294967296" +
+      s") % 18446744073709551616"
+  }
+
+  /** The full splitmix64 pipeline as staged CTE columns (graft.synth
+    * .Synth.splitmix64: add golden-gamma, two xorshift-multiplies, final
+    * xorshift — each multiply via mulMod64). */
+  private def splitmixStages(from: String): String =
+    s"""s1 AS (SELECT b, d, k, (x + 11400714819323198485) % 18446744073709551616 AS z FROM $from),
+       |s2 AS (SELECT b, d, k, ${mulMod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9L)} AS z FROM s1),
+       |s3 AS (SELECT b, d, k, ${mulMod64("xor(z, z // 134217728)", 0x94D049BB133111EBL)} AS z FROM s2),
+       |s4 AS (SELECT b, d, k, xor(z, z // 2147483648) AS z FROM s3)""".stripMargin
+
+  /** Full random-hyperplane LSH dedup replay (Dedup.embeddingDupPairs,
+    * nBits=16 bandBits=4 seed=42 minCosine=0.25): the pseudo-gaussian
+    * plane matrix is regenerated IN SQL — splitmix64 as HUGEINT limb
+    * arithmetic (validated bit-exact), uniforms as (z >>> 11)/2^53, the
+    * 4-uniform sum left-associated like the Scala fold — signatures from
+    * sequential-fold dot products (list_reduce keeps the engine's
+    * index-order double accumulation), band buckets by bit arithmetic,
+    * and the verified cosine via list_cosine_similarity (bit-identical to
+    * the engine's fused CosineExpr on every pair). Assumes the synthetic
+    * 64-dim embeddings and that no band bucket exceeds the 4096 cap at
+    * oracle scale (500 vectors / 16 buckets — a violation would diverge
+    * loudly as a row-count mismatch, never silently). */
+  val ddEmbeddingDupsSql: String =
+    s"""WITH cells AS (
+       |  SELECT b.range AS b, d.range AS d, k.range AS k,
+       |    CAST(xor(CAST(42 AS HUGEINT),
+       |             CAST(b.range * 1009 + d.range * 31 + k.range AS HUGEINT)) AS HUGEINT) AS x
+       |  FROM range(16) b, range(64) d, range(4) k),
+       |${splitmixStages("cells")},
+       |u AS (SELECT b, d, k, CAST(z // 2048 AS DOUBLE) / 9007199254740992.0 AS uval FROM s4),
+       |pv AS (SELECT b, d,
+       |         max(CASE WHEN k = 0 THEN uval END) + max(CASE WHEN k = 1 THEN uval END)
+       |       + max(CASE WHEN k = 2 THEN uval END) + max(CASE WHEN k = 3 THEN uval END) - 2.0 AS val
+       |       FROM u GROUP BY b, d),
+       |planes AS (SELECT b, list(val ORDER BY d) AS pl FROM pv GROUP BY b),
+       |vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dots AS (SELECT vecs.id, planes.b,
+       |           list_reduce(list_transform(range(1, 65), i -> vecs.v[i] * planes.pl[i]),
+       |                       (x, y) -> x + y) AS dot
+       |         FROM vecs, planes),
+       |sigs AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |         FROM dots GROUP BY id),
+       |banded AS (SELECT band.range AS band, (sig >> CAST(band.range * 4 AS INTEGER)) & 15 AS bucket, id
+       |           FROM sigs, range(4) band),
+       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |         FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+       |vpair AS (SELECT id_a, id_b, list_cosine_similarity(a.v, b.v) AS cosine
+       |          FROM cand JOIN vecs a ON cand.id_a = a.id JOIN vecs b ON cand.id_b = b.id)
+       |SELECT id_a, id_b, cosine FROM vpair WHERE cosine >= 0.25""".stripMargin
+
   /** Exact brute-force ANN replay: cross join + window in DuckDB, ranked
     * by list_cosine_similarity under the same (cosine DESC, nbr ASC) total
     * order the engine uses. */

@@ -158,6 +158,10 @@ object SparkEntry {
     "er_clusters" -> AuxOracles.erClustersSql,
     "dd_survivors" -> AuxOracles.ddSurvivorsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
+    "ann_ivf_topk" -> AuxOracles.annIvfTopkSql,
+    "dd_minhash_pairs" -> AuxOracles.ddMinhashPairsSql,
+    "dd_simhash_pairs" -> AuxOracles.ddSimhashPairsSql,
+    "ann_lsh_topk" -> AuxOracles.annLshTopkSql,
     "mm_media_stats" -> AuxOracles.mmMediaStatsSql,
     "mm_frame_sample" -> AuxOracles.mmFrameSampleSql,
   )

@@ -334,6 +334,231 @@ object AuxOracles {
        |          FROM cand JOIN vecs a ON cand.id_a = a.id JOIN vecs b ON cand.id_b = b.id)
        |SELECT id_a, id_b, cosine FROM vpair WHERE cosine >= 0.25""".stripMargin
 
+  /** One Lloyd iteration as CTE stages: assign each sample vector to its
+    * nearest centroid ((cosine DESC, index ASC) — the engine's
+    * first-max-wins scan), then recompute each centroid as the per-dim
+    * mean folded IN SAMPLE ORDER (list(v ORDER BY pos) + list_reduce: the
+    * engine accumulates sums in hash-sample order, and double addition is
+    * order-sensitive); empty cells keep their old centroid. */
+  private def lloydIter(prev: String, cur: String): String =
+    s"""a_$cur AS (
+       |  SELECT s.id, s.pos, s.v, ce.c,
+       |         row_number() OVER (PARTITION BY s.id
+       |           ORDER BY list_cosine_similarity(ce.v, s.v) DESC, ce.c ASC) AS rn
+       |  FROM samp s, $prev ce),
+       |mem_$cur AS (
+       |  SELECT c, list(v ORDER BY pos) AS vs, count(*) AS cnt
+       |  FROM a_$cur WHERE rn = 1 GROUP BY c),
+       |$cur AS (
+       |  SELECT pc.c,
+       |    CASE WHEN m.cnt IS NULL THEN pc.v
+       |         ELSE list_transform(range(1, 65), d ->
+       |                list_reduce(list_transform(m.vs, mv -> mv[d]), (x, y) -> x + y) / m.cnt)
+       |    END AS v
+       |  FROM $prev pc LEFT JOIN mem_$cur m ON pc.c = m.c)""".stripMargin
+
+  /** Full IVF ANN replay (Ann.ivfTopK auto-sized, nProbe=4, k=5): the
+    * deterministic hash-ordered training sample (splitmix64 as staged
+    * limb arithmetic, SIGNED-long sort order restored), auto nLists =
+    * round(sqrt(500)) = 22 centroids seeded from the first sample rows,
+    * THREE Lloyd iterations with order-exact double folds, map-side cell
+    * assignment, per-query nProbe probing, and exact cosine re-rank. At
+    * oracle scale (sf0.01, 500 x 64-dim vectors) the whole corpus is the
+    * training sample (trainSample=4096) — a corpus/dim change would
+    * diverge loudly as a row/hash mismatch, never silently. */
+  val annIvfTopkSql: String =
+    s"""WITH h0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |            CAST(vec_id AS HUGEINT) AS x FROM embeddings),
+       |h1 AS (SELECT id, v, (x + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
+       |h2 AS (SELECT id, v, ${mulMod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9L)} AS z FROM h1),
+       |h3 AS (SELECT id, v, ${mulMod64("xor(z, z // 134217728)", 0x94D049BB133111EBL)} AS z FROM h2),
+       |h4 AS (SELECT id, v, xor(z, z // 2147483648) AS z FROM h3),
+       |samp AS (SELECT id, v,
+       |           row_number() OVER (ORDER BY
+       |             CAST(CASE WHEN z >= 9223372036854775808
+       |                       THEN z - 18446744073709551616 ELSE z END AS BIGINT) ASC, id ASC) AS pos
+       |         FROM h4),
+       |cent0 AS (SELECT pos - 1 AS c, v FROM samp WHERE pos <= 22),
+       |${lloydIter("cent0", "cent1")},
+       |${lloydIter("cent1", "cent2")},
+       |${lloydIter("cent2", "cent3")},
+       |assignf AS (
+       |  SELECT s.id AS nbr_id, s.v AS cv, ce.c AS cell,
+       |         row_number() OVER (PARTITION BY s.id
+       |           ORDER BY list_cosine_similarity(ce.v, s.v) DESC, ce.c ASC) AS rn
+       |  FROM samp s, cent3 ce),
+       |corpus_cells AS (SELECT cell, nbr_id, cv FROM assignf WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT q.id AS query_id, q.v AS qv, ce.c AS cell,
+       |         row_number() OVER (PARTITION BY q.id
+       |           ORDER BY list_cosine_similarity(ce.v, q.v) DESC, ce.c ASC) AS prn
+       |  FROM (SELECT id, v FROM samp WHERE id < 20) q, cent3 ce),
+       |probes AS (SELECT query_id, qv, cell FROM qprobe WHERE prn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, c.nbr_id,
+       |         row_number() OVER (PARTITION BY p.query_id
+       |           ORDER BY list_cosine_similarity(p.qv, c.cv) DESC, c.nbr_id ASC) AS rank
+       |  FROM probes p JOIN corpus_cells c ON p.cell = c.cell
+       |  WHERE c.nbr_id <> p.query_id)
+       |SELECT query_id, rank, nbr_id FROM cand WHERE rank <= 5""".stripMargin
+
+  /** LSH ANN replay: identical plane/signature machinery to
+    * ddEmbeddingDupsSql (same seed-42 hyperplanes), query side restricted
+    * to vec_id < 20, candidates = band-bucket co-members, exact cosine
+    * re-rank top-5 under the engine's (cosine DESC, nbr ASC) order. */
+  val annLshTopkSql: String =
+    s"""WITH cells AS (
+       |  SELECT b.range AS b, d.range AS d, k.range AS k,
+       |    CAST(xor(CAST(42 AS HUGEINT),
+       |             CAST(b.range * 1009 + d.range * 31 + k.range AS HUGEINT)) AS HUGEINT) AS x
+       |  FROM range(16) b, range(64) d, range(4) k),
+       |${splitmixStages("cells")},
+       |u AS (SELECT b, d, k, CAST(z // 2048 AS DOUBLE) / 9007199254740992.0 AS uval FROM s4),
+       |pv AS (SELECT b, d,
+       |         max(CASE WHEN k = 0 THEN uval END) + max(CASE WHEN k = 1 THEN uval END)
+       |       + max(CASE WHEN k = 2 THEN uval END) + max(CASE WHEN k = 3 THEN uval END) - 2.0 AS val
+       |       FROM u GROUP BY b, d),
+       |planes AS (SELECT b, list(val ORDER BY d) AS pl FROM pv GROUP BY b),
+       |vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dots AS (SELECT vecs.id, planes.b,
+       |           list_reduce(list_transform(range(1, 65), i -> vecs.v[i] * planes.pl[i]),
+       |                       (x, y) -> x + y) AS dot
+       |         FROM vecs, planes),
+       |sigs AS (SELECT id, CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+       |         FROM dots GROUP BY id),
+       |banded AS (SELECT band.range AS band, (sig >> CAST(band.range * 4 AS INTEGER)) & 15 AS bucket, id
+       |           FROM sigs, range(4) band),
+       |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nbr_id
+       |         FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket AND q.id <> c.id
+       |         WHERE q.id < 20),
+       |ranked AS (SELECT query_id, nbr_id,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY list_cosine_similarity(a.v, b.v) DESC, nbr_id ASC) AS rank
+       |           FROM cand JOIN vecs a ON cand.query_id = a.id JOIN vecs b ON cand.nbr_id = b.id)
+       |SELECT query_id, rank, nbr_id FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Unsigned decimal rendering of a Scala hex literal — every 64-bit
+    * constant in these oracles is DERIVED from the same hex the engine
+    * uses (a hand-transcribed decimal seed cost a debugging detour). */
+  private def u64(x: Long): String = java.lang.Long.toUnsignedString(x)
+
+  /** FNV offset basis used by Dedup.hashString / charShingles. */
+  private val Fnv = u64(0x6C62272E07BB0142L)
+  private val Gamma = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 fully inlined into one expression (for lambda folds). */
+  private def splitmixInline(e: String): String = {
+    val z0 = s"((($e) + ${u64(Gamma)}) % 18446744073709551616)"
+    val z1 = s"(${mulMod64(s"xor($z0, ($z0) // 1073741824)", 0xBF58476D1CE4E5B9L)})"
+    val z2 = s"(${mulMod64(s"xor($z1, ($z1) // 134217728)", 0x94D049BB133111EBL)})"
+    s"xor($z2, ($z2) // 2147483648)"
+  }
+
+  /** Char-fold stage i of the 5-char shingle hash (staged CTE columns). */
+  private def shingleFoldStage(i: Int): String = {
+    val keep = (Seq("doc_id", "p") ++ (i + 1 to 5).map("c" + _)).mkString(", ")
+    s"""g${i}a AS (SELECT $keep, ((xor(z, c$i)) + ${u64(Gamma)}) % 18446744073709551616 AS z FROM g${i - 1}),
+       |g${i}b AS (SELECT $keep, ${mulMod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9L)} AS z FROM g${i}a),
+       |g${i}c AS (SELECT $keep, ${mulMod64("xor(z, z // 134217728)", 0x94D049BB133111EBL)} AS z FROM g${i}b),
+       |g$i AS (SELECT $keep, xor(z, z // 2147483648) AS z FROM g${i}c)""".stripMargin
+  }
+
+  /** Full MinHash-LSH replay (Dedup.minhashPairs, shingleK=5 nHashes=64
+    * rowsPerBand=8 minJaccard=0.35): char 5-gram hashes via five staged
+    * splitmix64 folds, hash-level dedup (the engine's Set[Long]), the 64
+    * minhash functions via the per-k xor constants, SIGNED minimum (the
+    * engine compares Longs), and band-SLICE-EQUALITY joins in place of
+    * the engine's xxhash64 bucket keys (equal slices ⟺ equal buckets;
+    * an xxhash collision would surface as an extra engine pair — a loud
+    * row mismatch). est_jaccard = agreement/64, both engines exact. */
+  val ddMinhashPairsSql: String = {
+    val mask = (BigInt(1) << 64) - 1
+    val kconsts = (0 until 64)
+      .map(k => s"CAST(${(BigInt(Gamma) * (k + 3)) & mask} AS HUGEINT)")
+      .mkString("[", ",", "]")
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 4, 0) + 1)) AS p
+       |  FROM documents WHERE length(text) >= 5),
+       |shing0 AS (
+       |  SELECT doc_id, p,
+       |    CAST(unicode(substr(text, CAST(p AS INTEGER), 1)) AS HUGEINT) AS c1,
+       |    CAST(unicode(substr(text, CAST(p + 1 AS INTEGER), 1)) AS HUGEINT) AS c2,
+       |    CAST(unicode(substr(text, CAST(p + 2 AS INTEGER), 1)) AS HUGEINT) AS c3,
+       |    CAST(unicode(substr(text, CAST(p + 3 AS INTEGER), 1)) AS HUGEINT) AS c4,
+       |    CAST(unicode(substr(text, CAST(p + 4 AS INTEGER), 1)) AS HUGEINT) AS c5
+       |  FROM pos),
+       |g0 AS (SELECT doc_id, p, c1, c2, c3, c4, c5, CAST($Fnv AS HUGEINT) AS z FROM shing0),
+       |${shingleFoldStage(1)},
+       |${shingleFoldStage(2)},
+       |${shingleFoldStage(3)},
+       |${shingleFoldStage(4)},
+       |${shingleFoldStage(5)},
+       |shashes AS (SELECT DISTINCT doc_id, z AS sh FROM g5),
+       |ks AS (SELECT k.range AS k, ($kconsts)[CAST(k.range + 1 AS INTEGER)] AS kc FROM range(64) k),
+       |m0 AS (SELECT doc_id, k, xor(sh, kc) AS x FROM shashes, ks),
+       |m1 AS (SELECT doc_id, k, (x + ${u64(Gamma)}) % 18446744073709551616 AS z FROM m0),
+       |m2 AS (SELECT doc_id, k, ${mulMod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9L)} AS z FROM m1),
+       |m3 AS (SELECT doc_id, k, ${mulMod64("xor(z, z // 134217728)", 0x94D049BB133111EBL)} AS z FROM m2),
+       |m4 AS (SELECT doc_id, k, xor(z, z // 2147483648) AS z FROM m3),
+       |mh AS (SELECT doc_id, k,
+       |         min(CAST(CASE WHEN z >= 9223372036854775808
+       |                       THEN z - 18446744073709551616 ELSE z END AS BIGINT)) AS mv
+       |       FROM m4 GROUP BY doc_id, k),
+       |sigs AS (SELECT doc_id, list(mv ORDER BY k) AS sig FROM mh GROUP BY doc_id),
+       |banded AS (SELECT b.range AS band, doc_id, sig,
+       |             sig[CAST(b.range * 8 + 1 AS INTEGER):CAST(b.range * 8 + 8 AS INTEGER)] AS bs
+       |           FROM sigs, range(8) b),
+       |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sa, r.sig AS sb
+       |          FROM banded l JOIN banded r ON l.band = r.band AND l.bs = r.bs AND l.doc_id < r.doc_id),
+       |est AS (SELECT id_a, id_b,
+       |          CAST(length(list_filter(range(1, 65), i -> sa[i] = sb[i])) AS DOUBLE) / 64 AS est_jaccard
+       |        FROM pairs)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.35""".stripMargin
+  }
+
+  /** Full SimHash replay (Dedup.simhashPairs, maxHamming=8 → 9 bands of
+    * width 7): per-token rolling hashes via splitmix64 INLINED into a
+    * list_reduce fold (UTF-16 units, Java-split semantics via rtrim),
+    * per-bit majority vote, signed 64-bit signature, the engine's
+    * div/% band bucketing (DuckDB's // and % truncate toward zero like
+    * Java), pigeonhole pairs with bit_count(xor) <= 8. */
+  val ddSimhashPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN rtrim(text, ' ') = '' THEN CAST([] AS VARCHAR[])
+       |                      ELSE string_split(rtrim(text, ' '), ' ') END AS ts
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT doc_id, list_transform(ts, t ->
+       |    list_reduce(list_prepend(CAST($Fnv AS HUGEINT),
+       |      flatten(list_transform(range(1, length(t) + 1), i ->
+       |        CASE WHEN unicode(substr(t, i, 1)) < 65536
+       |             THEN [CAST(unicode(substr(t, i, 1)) AS HUGEINT)]
+       |             ELSE [CAST(55296 + ((unicode(substr(t, i, 1)) - 65536) // 1024) AS HUGEINT),
+       |                   CAST(56320 + ((unicode(substr(t, i, 1)) - 65536) % 1024) AS HUGEINT)]
+       |        END))),
+       |      (a, c) -> ${splitmixInline("xor(a, c)")})) AS hs
+       |  FROM toks),
+       |sims AS (
+       |  SELECT doc_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(0, 64), b ->
+       |        CASE WHEN 2 * length(list_filter(hs, h -> (h >> CAST(b AS INTEGER)) % 2 = 1)) > length(hs)
+       |             THEN (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS HUGEINT) END)),
+       |      (x, y) -> x + y) AS HUGEINT) AS usim
+       |  FROM hashes),
+       |sig AS (SELECT doc_id AS id,
+       |          CAST(CASE WHEN usim >= 9223372036854775808
+       |                    THEN usim - 18446744073709551616 ELSE usim END AS BIGINT) AS sim
+       |        FROM sims),
+       |banded AS (SELECT band.range AS band,
+       |             (sim // (CAST(1 AS BIGINT) << CAST(band.range * 7 AS INTEGER))) % 128 AS bucket,
+       |             id, sim
+       |           FROM sig, range(9) band),
+       |pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sim AS sa, r.sim AS sb
+       |          FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id)
+       |SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin
+
   /** Exact brute-force ANN replay: cross join + window in DuckDB, ranked
     * by list_cosine_similarity under the same (cosine DESC, nbr ASC) total
     * order the engine uses. */

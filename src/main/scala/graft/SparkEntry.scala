@@ -8,9 +8,11 @@ import graft.queries.{AuxOracles, ErQueries, EvalQueries, Queries, Queries2, Que
   *
   * `queries` maps operator names (SURVEY.md §2 inventory) to executable
   * DataFrame builders over the driver's parquet tables at `dir`; every
-  * SQL-expressible query has a DuckDB oracle in `oracleSql` with matching
-  * column names/aliases. ER-pipeline queries (synthetic in-engine pages
-  * table) have no SQL oracle → rows-only checks + ScalaTest semantics.
+  * query except three has a DuckDB oracle in `oracleSql` with matching
+  * column names/aliases (engine-generated inputs are dumped via
+  * `auxDumps` and re-derived by the oracle SQL through the `{OUT}`
+  * anchor). Only er_extract / er_mentions / eval_cases stay rows-only —
+  * extraction/case logic with no SQL form, golden-tested in ScalaTest.
   */
 object SparkEntry {
 
@@ -51,14 +53,15 @@ object SparkEntry {
     "q28_brand_csv" -> (Queries3.q28BrandCsv(_, _)),
     "q29_balance_quartiles" -> (Queries3.q29BalanceQuartiles(_, _)),
     "q30_nation_customer_facets" -> (Queries3.q30NationCustomerFacets(_, _)),
-    // ER pipeline over the synthetic pages table (rows-only checks)
+    // ER pipeline over the synthetic pages table (oracle-gated via aux
+    // dumps except er_extract/er_mentions, which are rows-only golden ops)
     "er_extract" -> (ErQueries.erExtract(_, _)),
     "er_mentions" -> (ErQueries.erMentions(_, _)),
     "er_block_profile" -> (ErQueries.erBlockProfile(_, _)),
     "er_scored_pairs" -> (ErQueries.erScoredPairs(_, _)),
     "er_clusters" -> (ErQueries.erClusters(_, _)),
     "er_pairwise_eval" -> (ErQueries.erPairwiseEval(_, _)),
-    // training-data pipeline operators (rows-only checks; semantics in specs)
+    // training-data pipeline operators (all oracle-gated; semantics also in specs)
     "dd_minhash_pairs" -> (TrainingDataQueries.ddMinhashPairs(_, _)),
     "dd_simhash_pairs" -> (TrainingDataQueries.ddSimhashPairs(_, _)),
     "dd_embedding_dups" -> (TrainingDataQueries.ddEmbeddingDups(_, _)),
@@ -72,7 +75,8 @@ object SparkEntry {
     "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
     "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
     "mm_frame_sample" -> (TrainingDataQueries.mmFrameSample(_, _)),
-    // KB-build jobs + ELEVANT-semantics evaluation (rows-only checks)
+    // KB-build jobs + ELEVANT-semantics evaluation (oracle-gated except
+    // eval_cases, whose case logic has no SQL form)
     "kb_link_freq" -> (EvalQueries.kbLinkFreq(_, _)),
     "kb_top_candidates" -> (EvalQueries.kbTopCandidates(_, _)),
     "eval_oracle_counts" -> (EvalQueries.evalOracleCounts(_, _)),
@@ -97,9 +101,14 @@ object SparkEntry {
     // sub-bucketed blocking relation with scoring attributes: lets DuckDB
     // replay the pair self-join + dedup + jaccard/score/is_match/lev of
     // er_scored_pairs (jw is the one engine-joined scalar — golden-tested
-    // against the reference separately)
+    // against the reference separately). The ctx hash array travels as a
+    // comma-joined string: the driver's check harness pandas-sorts every
+    // dump, and an array<bigint> cell is unhashable there (round-3 verdict
+    // item 1); the oracle SQL splits it back into a BIGINT list.
     "aux_keyed" -> ((s, d) =>
-      graft.er.Blocking.keyedWithAttrs(ErQueries.mentions(s, d), graft.er.Blocking.Config())),
+      graft.er.Blocking.keyedWithAttrs(ErQueries.mentions(s, d), graft.er.Blocking.Config())
+        .withColumn("ctx", org.apache.spark.sql.functions.concat_ws(",",
+          org.apache.spark.sql.functions.col("ctx")))),
     // decoded media features / sampled frames pre-aggregation
     "aux_media_decoded" -> ((s, d) =>
       graft.multimodal.Multimodal.decodeAndFeatures(

@@ -26,22 +26,31 @@ object Dedup {
     * dedup queries (the 53-query bench catalog) accumulates
     * session-lifetime cache blocks. Surfaces call releaseSignatures() when
     * a dedup result is no longer needed; unpersisting early is safe (the
-    * pairs plan just recomputes the signatures). */
+    * pairs plan just recomputes the signatures).
+    *
+    * THREAD-scoped, not process-global (round-3 advice): plan construction
+    * runs on the caller's thread, so a Bench/Verify loop releasing its own
+    * signatures can never unpersist tables belonging to a dedup query
+    * being built concurrently on another thread of the same JVM. Build and
+    * release on the same thread (all engine surfaces do). */
   private val activeSigs =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](
+      () => new java.util.ArrayDeque[DataFrame]())
 
   private def persistSig(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    activeSigs.add(p)
+    activeSigs.get().add(p)
     p
   }
 
-  /** Unpersist every signature table registered since the last release. */
+  /** Unpersist every signature table registered on THIS thread since the
+    * last release. */
   def releaseSignatures(): Unit = {
-    var d = activeSigs.poll()
+    val q = activeSigs.get()
+    var d = q.poll()
     while (d != null) {
       try d.unpersist(false) catch { case _: Throwable => () }
-      d = activeSigs.poll()
+      d = q.poll()
     }
   }
 

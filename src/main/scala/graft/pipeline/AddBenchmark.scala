@@ -22,6 +22,14 @@ import graft.eval.CaseModel._
   * The final file write is driver-side by contract — benchmark files are
   * small (the reference streams them through one Python process); the
   * enrichment map and the statistics aggregations stay distributed.
+  *
+  * DECLARED DIVERGENCE (ordering): the reference preserves the input
+  * file's article order and ids; this writer re-sorts by url and assigns
+  * ids 0..n-1 in that order, because a Dataset has no stable input-line
+  * order to preserve (EvalDoc deliberately carries no source line number).
+  * Every reader and consumer in THIS engine keys articles by title/url, so
+  * round-trips are unaffected; reference-side tooling that correlates
+  * sibling files by id/line must not be pointed at files from this writer.
   */
 object AddBenchmark {
 

@@ -182,7 +182,11 @@ object AuxOracles {
     * elsewhere); a LEFT join keeps any oracle-only pair alive as a NULL
     * mismatch instead of hiding it. */
   val erScoredPairsSql: String =
-    """WITH k AS (SELECT * FROM '{OUT}/aux_keyed/*.parquet'),
+    """WITH k AS (SELECT bkey, id, ns, gold,
+      |        CASE WHEN ctx = '' THEN CAST([] AS BIGINT[])
+      |             ELSE list_transform(string_split(ctx, ','), x -> CAST(x AS BIGINT))
+      |        END AS ctx
+      |      FROM '{OUT}/aux_keyed/*.parquet'),
       |p AS (SELECT DISTINCT l.id AS a, r.id AS b, l.ns AS ns_a, r.ns AS ns_b,
       |             l.ctx AS ctx_a, r.ctx AS ctx_b, l.gold AS gold_a, r.gold AS gold_b
       |      FROM k l JOIN k r ON l.bkey = r.bkey AND l.id < r.id),

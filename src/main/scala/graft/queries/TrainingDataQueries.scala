@@ -9,9 +9,11 @@ import graft.sim.Ann
 import graft.text.TextAnalysis
 
 /** Training-data pipeline operators surfaced as driver queries (dedup
-  * tiers, similarity search, text analysis, multimodal plumbing). These
-  * have no SQL-expressible DuckDB oracle (custom hashes / UDF pipelines) →
-  * rows-only driver checks; semantics are verified in DedupAnnSpec /
+  * tiers, similarity search, text analysis, multimodal plumbing). All of
+  * them are DuckDB-oracle-gated (hash-exact) since round 3 — the custom
+  * hash pipelines are replayed in SQL (splitmix64 as staged 32-bit-limb
+  * CTEs, MinHash/SimHash folds, Lloyd's k-means, FNV HUGEINT rolling
+  * hash); semantics are additionally verified in DedupAnnSpec /
   * TextMultimodalPipelineSpec (planted-duplicate recall, brute-force
   * agreement, codec round-trips). */
 object TrainingDataQueries {

@@ -133,9 +133,14 @@ object CreateBenchmark {
         val children =
           if (inside < labelIds.length) labelIds(inside) else ArrayBuffer[Int]()
         val labelId = labelIds(inside - 1).last
+        // reference create_benchmark.py:147 uses re.match(r"Q[0-9]+") — a
+        // PREFIX test; Scala matches() would demand a full match and its
+        // '.' excludes newlines, misclassifying a multi-line QID cell
+        val qidPrefix = labels.last.length >= 2 &&
+          labels.last.charAt(0) == 'Q' &&
+          labels.last.charAt(1) >= '0' && labels.last.charAt(1) <= '9'
         val labelType =
-          if (!labels.last.startsWith("Unknown") &&
-            !labels.last.matches("^Q[0-9]+.*")) labels.last
+          if (!labels.last.startsWith("Unknown") && !qidPrefix) labels.last
           else OTHER
         if (labels.last.startsWith("Unknown")) labels(labels.length - 1) = NIL
         val corefTag = if (noCorefTags) None else Some(corefTags.last)

@@ -49,8 +49,53 @@ object EvalQueries {
     KbBuild.mostPopularCandidates(kbLinkFreq(spark, dir))
       .withColumn("candidates", concat_ws(",", col("candidates")))
 
+  /** Session-scoped memo of the eval family's shared upstream, mirroring
+    * ErQueries.Shared: three catalog queries (eval_oracle_counts,
+    * eval_baseline_counts, eval_cases) plus two Verify aux dumps all
+    * consume the same benchmark-docs → predictions → cases prefix. Without
+    * pinning, each surface re-runs the groupByKey doc assembly and the
+    * page-text join — cheap in isolation (~0.6 s at sf0.1) but the
+    * catalog's tail-end memory pressure made un-pinned re-runs swing to
+    * 6.5 s in the round-3 official bench (verdict item 3). All stages are
+    * lazy; a surface only materializes what it needs. */
+  final class Shared private[EvalQueries] (spark: SparkSession, dir: String) {
+    import spark.implicits._
+
+    lazy val oracleCases: Dataset[graft.eval.CaseModel.EvalCase] =
+      Evaluation.cases(oracleDocsPlan(spark, dir), EntityMeta.empty)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    lazy val baselineCases: Dataset[graft.eval.CaseModel.EvalCase] =
+      Evaluation.cases(baselineDocsPlan(spark, dir), EntityMeta.empty)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def unpersistAll(): Unit = {
+      try oracleCases.unpersist(false) catch { case _: Throwable => () }
+      try baselineCases.unpersist(false) catch { case _: Throwable => () }
+    }
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Shared]()
+
+  /** App-keyed like ErQueries.shared: foreign-application entries are
+    * evicted (and unpersisted) on access so repeated mains in one JVM
+    * cannot accumulate session-lifetime cache blocks. */
+  def shared(spark: SparkSession, dir: String): Shared = {
+    val app = spark.sparkContext.applicationId
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.startsWith(app + "|")) {
+        try e.getValue.unpersistAll() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    cache.computeIfAbsent(app + "|" + dir, _ => new Shared(spark, dir))
+  }
+
   /** Benchmark docs carrying the oracle linker's predictions. */
-  private def oracleDocs(spark: SparkSession, dir: String): Dataset[EvalDoc] = {
+  private def oracleDocsPlan(spark: SparkSession, dir: String): Dataset[EvalDoc] = {
     import spark.implicits._
     benchmarkDocs(spark, dir)
       .map(d => d.copy(predictions = OracleLinker.predictions(d.labels)))
@@ -58,7 +103,7 @@ object EvalQueries {
 
   /** Benchmark docs carrying the baseline (most-popular candidate)
     * linker's predictions. */
-  private def baselineDocs(spark: SparkSession, dir: String): Dataset[EvalDoc] = {
+  private def baselineDocsPlan(spark: SparkSession, dir: String): Dataset[EvalDoc] = {
     import spark.implicits._
     val pages = ErQueries.pages(spark, dir)
     val mentions = ErQueries.mentions(spark, dir) // memoized + persisted
@@ -82,33 +127,26 @@ object EvalQueries {
   /** Oracle identity at corpus scale: one row per (mode, category). The
     * "all" rows must carry fp = fn = 0. */
   def evalOracleCounts(spark: SparkSession, dir: String): DataFrame =
-    Evaluation.counts(
-      Evaluation.cases(oracleDocs(spark, dir), EntityMeta.empty), EntityMeta.empty)
+    Evaluation.counts(shared(spark, dir).oracleCases, EntityMeta.empty)
 
   /** Baseline linker (most-popular candidate, min tie-break) evaluated
     * with full reference semantics. */
   def evalBaselineCounts(spark: SparkSession, dir: String): DataFrame =
-    Evaluation.counts(
-      Evaluation.cases(baselineDocs(spark, dir), EntityMeta.empty), EntityMeta.empty)
+    Evaluation.counts(shared(spark, dir).baselineCases, EntityMeta.empty)
 
   /** Aux dumps for the DuckDB gate: the pre-aggregation counter-row
     * relations of the two eval queries above (the per-case counting logic
     * is golden-tested; the dumped relation lets DuckDB replay the
     * aggregation). */
   def auxOracleCounterRows(spark: SparkSession, dir: String): DataFrame =
-    Evaluation.counterRowsDf(
-      Evaluation.cases(oracleDocs(spark, dir), EntityMeta.empty), EntityMeta.empty)
+    Evaluation.counterRowsDf(shared(spark, dir).oracleCases, EntityMeta.empty)
 
   def auxBaselineCounterRows(spark: SparkSession, dir: String): DataFrame =
-    Evaluation.counterRowsDf(
-      Evaluation.cases(baselineDocs(spark, dir), EntityMeta.empty), EntityMeta.empty)
+    Evaluation.counterRowsDf(shared(spark, dir).baselineCases, EntityMeta.empty)
 
   /** Flattened evaluation-case table (the reference's eval_cases.jsonl). */
   def evalCases(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = benchmarkDocs(spark, dir)
-      .map(d => d.copy(predictions = OracleLinker.predictions(d.labels)))
-    Evaluation.cases(docs, EntityMeta.empty)
+    shared(spark, dir).oracleCases
       .select(
         col("url"), col("begin"), col("end"), col("text"),
         col("factor"), col("mentionType"),

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.sources.CorpusJobs.{pySlice, pyStrip, CorpusArticle}
+
+/** scripts/get_evaluation_paragraphs.py as a Spark job: seed-31072020
+  * MT19937 shuffle of the development corpus, then a 3-paragraph
+  * evaluation window per article — randint(1, n-3) start for long
+  * articles, paragraph 1 otherwise, with the reference's
+  * trailing-empty-paragraph discount and its 2-chars-per-separator span
+  * arithmetic (quirks included: an empty article yields span (2, 0)).
+  *
+  * Scale split: the sequential-RNG part (shuffle + per-article randint
+  * draws in shuffled order) runs on the driver over the (ord,
+  * paragraph-count) vector alone — 12 bytes/article where the reference
+  * holds every article text in memory; the span arithmetic and text
+  * slicing stay map-side behind a broadcast of that plan. */
+object EvalParagraphs {
+
+  val Seed = 31072020L
+  val NParagraphsPerArticle = 3
+  val StartTag = "<START>"
+  val EndTag = "<END>"
+
+  /** CPython str.split("\n\n"): every occurrence splits, empties kept. */
+  def pySplitParas(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var done = false
+    while (!done) {
+      val j = text.indexOf("\n\n", i)
+      if (j < 0) { out += text.substring(i); done = true }
+      else { out += text.substring(i, j); i = j + 2 }
+    }
+    out.result()
+  }
+
+  /** Effective paragraph count (the reference discounts one trailing
+    * paragraph that strips to empty). */
+  def effectiveParagraphs(text: String): Int = {
+    val paras = pySplitParas(text)
+    if (pyStrip(paras.last).isEmpty) paras.length - 1 else paras.length
+  }
+
+  /** (shuffled position, eval_begin_paragraph) per input ordinal — the
+    * driver-side sequential part. `countsInCorpusOrder(i)` = effective
+    * paragraph count of article i in corpus order. */
+  def plan(countsInCorpusOrder: IndexedSeq[Int]): Seq[(Int, Int, Int)] = {
+    val rng = new DatasetSplit.PythonRandom(Seed)
+    val idx = scala.collection.mutable.ArrayBuffer.range(0, countsInCorpusOrder.length)
+    rng.shuffle(idx)
+    idx.toSeq.zipWithIndex.map { case (orig, pos) =>
+      val n = countsInCorpusOrder(orig)
+      val ebp =
+        if (n - 1 <= NParagraphsPerArticle) 1
+        // randint(1, n - 3) = 1 + _randbelow(n - 3)
+        else (1L + rng.randbelow((n - NParagraphsPerArticle).toLong)).toInt
+      (orig, pos, ebp)
+    }
+  }
+
+  /** Reference span arithmetic (get_evaluation_paragraphs.py:35-41). */
+  def spanFor(paras: Vector[String], ebp: Int): (Int, Int) = {
+    val lengths = paras.map(_.length)
+    val eep = math.min(paras.length, ebp + NParagraphsPerArticle)
+    val start = lengths.take(ebp).sum + 2 * ebp
+    val end = start + lengths.slice(ebp, eep).sum + 2 * (eep - ebp - 1)
+    (start, end)
+  }
+
+  /** The full job: articles in corpus order → one row per article in
+    * SHUFFLED order with (article_num, id, title, url, eval_begin,
+    * eval_end, text). */
+  def withEvalSpans(articles: Dataset[CorpusArticle]): DataFrame = {
+    val spark = articles.sparkSession
+    import spark.implicits._
+    val withOrd = articles.rdd.zipWithIndex().map { case (a, ord) => (ord, a) }
+    val counts = withOrd
+      .map { case (ord, a) => (ord, effectiveParagraphs(a.text)) }
+      .collect().sortBy(_._1).map(_._2)
+    val planned = plan(counts.toIndexedSeq)
+      .map { case (orig, pos, ebp) => (orig.toLong, (pos, ebp)) }.toMap
+    val bPlan = spark.sparkContext.broadcast(planned)
+    withOrd.map { case (ord, a) =>
+      val (pos, ebp) = bPlan.value(ord)
+      val (b, e) = spanFor(pySplitParas(a.text), ebp)
+      (pos.toLong + 1L, a.id, a.title, a.url, b, e, a.text)
+    }.toDF("article_num", "id", "title", "url", "eval_begin", "eval_end", "text")
+      .orderBy(col("article_num"))
+  }
+
+  /** --text mode: the two print() lines per article (four leading / five
+    * trailing asterisks exactly as the reference writes them). */
+  def textMode(spanned: DataFrame): DataFrame = {
+    val spark = spanned.sparkSession
+    import spark.implicits._
+    spanned
+      .select(col("article_num"), col("title"), col("url"),
+        col("eval_begin"), col("eval_end"), col("text"))
+      .as[(Long, String, String, Int, Int, String)]
+      .map { case (num, title, url, b, e, text) =>
+        val block = s"**** ARTICLE #$num: $title ($url) *****\n" +
+          pySlice(text, 0, b) + StartTag + pySlice(text, b, e) + EndTag +
+          pySlice(text, e, text.length) + "\n"
+        (num, block)
+      }.toDF("article_num", "block")
+  }
+}

@@ -11,8 +11,9 @@ import graft.queries.{AuxOracles, ErQueries, EvalQueries, Queries, Queries2, Que
   * query except three has a DuckDB oracle in `oracleSql` with matching
   * column names/aliases (engine-generated inputs are dumped via
   * `auxDumps` and re-derived by the oracle SQL through the `{OUT}`
-  * anchor). Only er_extract / er_mentions / eval_cases stay rows-only —
-  * extraction/case logic with no SQL form, golden-tested in ScalaTest.
+  * anchor). Only eval_cases stays rows-only — case logic with no SQL
+  * form, golden-tested in ScalaTest (er_extract / er_mentions are gated
+  * via the span-granularity aux_extract_* dumps since round 4).
   */
 object SparkEntry {
 
@@ -53,8 +54,8 @@ object SparkEntry {
     "q28_brand_csv" -> (Queries3.q28BrandCsv(_, _)),
     "q29_balance_quartiles" -> (Queries3.q29BalanceQuartiles(_, _)),
     "q30_nation_customer_facets" -> (Queries3.q30NationCustomerFacets(_, _)),
-    // ER pipeline over the synthetic pages table (oracle-gated via aux
-    // dumps except er_extract/er_mentions, which are rows-only golden ops)
+    // ER pipeline over the synthetic pages table (all oracle-gated via
+    // aux dumps)
     "er_extract" -> (ErQueries.erExtract(_, _)),
     "er_mentions" -> (ErQueries.erMentions(_, _)),
     "er_block_profile" -> (ErQueries.erBlockProfile(_, _)),
@@ -94,6 +95,12 @@ object SparkEntry {
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aux_hyperlinks" -> ((s, d) =>
       graft.kb.KbBuild.hyperlinks(ErQueries.pages(s, d)).select("norm_text", "target")),
+    // span-granularity extraction dumps: let DuckDB re-derive er_extract's
+    // counts and er_mentions' surface/normalization/mention_id columns
+    "aux_extract_text" -> (ErQueries.auxExtractText(_, _)),
+    "aux_extract_links" -> (ErQueries.auxExtractLinks(_, _)),
+    "aux_extract_synonyms" -> (ErQueries.auxExtractSynonyms(_, _)),
+    "aux_extract_sections" -> (ErQueries.auxExtractSections(_, _)),
     "aux_block_keys" -> ((s, d) =>
       graft.er.Blocking.keyed(ErQueries.mentions(s, d), graft.er.Blocking.Config())),
     "aux_oracle_counter_rows" -> (EvalQueries.auxOracleCounterRows(_, _)),
@@ -157,6 +164,8 @@ object SparkEntry {
     "eval_oracle_counts" -> AuxOracles.evalOracleCountsSql,
     "eval_baseline_counts" -> AuxOracles.evalBaselineCountsSql,
     "er_block_profile" -> AuxOracles.erBlockProfileSql,
+    "er_extract" -> AuxOracles.erExtractSql,
+    "er_mentions" -> AuxOracles.erMentionsSql,
     "ta_token_counts" -> AuxOracles.taTokenCountsSql,
     "ta_fingerprint" -> AuxOracles.taFingerprintSql,
     "ta_langid" -> AuxOracles.taLangidSql,

@@ -563,6 +563,57 @@ object AuxOracles {
        |SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin
 
+  /** er_extract re-derivation: per-url counts re-aggregated from the
+    * SPAN-granularity extraction dumps (text / links / synonyms /
+    * sections). The extraction pass itself is golden-tested byte-identical
+    * against the reference; this oracle gates the downstream count/join
+    * logic without re-selecting the query's own output. */
+  val erExtractSql: String =
+    """WITH docs AS (SELECT url, text FROM '{OUT}/aux_extract_text/*.parquet'),
+      |hl  AS (SELECT url, count(*) AS n FROM '{OUT}/aux_extract_links/*.parquet' GROUP BY url),
+      |syn AS (SELECT url, count(*) AS n FROM '{OUT}/aux_extract_synonyms/*.parquet' GROUP BY url),
+      |sec AS (SELECT url, count(*) AS n FROM '{OUT}/aux_extract_sections/*.parquet' GROUP BY url)
+      |SELECT d.url, CAST(length(d.text) AS BIGINT) AS text_len,
+      |       CAST(coalesce(hl.n, 0) AS BIGINT) AS n_hyperlinks,
+      |       CAST(coalesce(syn.n, 0) AS BIGINT) AS n_title_synonyms,
+      |       CAST(coalesce(sec.n, 0) AS BIGINT) AS n_sections
+      |FROM docs d LEFT JOIN hl ON d.url = hl.url
+      |LEFT JOIN syn ON d.url = syn.url LEFT JOIN sec ON d.url = sec.url""".stripMargin
+
+  /** er_mentions re-derivation from the extraction dumps: surface =
+    * substring of the page text at the hyperlink span (ASCII corpus, so
+    * DuckDB codepoint substr == Java UTF-16 substring); norm_surface =
+    * the lowercase/alnum-run normalization as a regex; mention_id =
+    * Mentions.mentionId's splitmix64 chain over (begin, url UTF-16 units)
+    * replayed as a HUGEINT list_reduce fold — the same surrogate-safe
+    * unit expansion the SimHash replay uses. */
+  val erMentionsSql: String =
+    s"""WITH m AS (
+       |  SELECT l.url, l."begin", l."end",
+       |         substr(d.text, l."begin" + 1, l."end" - l."begin") AS surface,
+       |         l.target AS gold_entity
+       |  FROM '{OUT}/aux_extract_links/*.parquet' l
+       |  JOIN '{OUT}/aux_extract_text/*.parquet' d ON l.url = d.url),
+       |ids AS (
+       |  SELECT url, "begin", "end", surface, gold_entity,
+       |    list_reduce(
+       |      list_prepend(${splitmixInline(s"""(CAST("begin" AS HUGEINT) + ${0x9E37L})""")},
+       |        flatten(list_transform(range(1, length(url) + 1), i ->
+       |          CASE WHEN unicode(substr(url, i, 1)) < 65536
+       |               THEN [CAST(unicode(substr(url, i, 1)) AS HUGEINT)]
+       |               ELSE [CAST(55296 + ((unicode(substr(url, i, 1)) - 65536) // 1024) AS HUGEINT),
+       |                     CAST(56320 + ((unicode(substr(url, i, 1)) - 65536) % 1024) AS HUGEINT)]
+       |          END))),
+       |      (a, c) -> ${splitmixInline("xor(a, c)")}) AS uid
+       |  FROM m)
+       |SELECT url,
+       |       CAST(CASE WHEN uid >= 9223372036854775808
+       |                 THEN uid - 18446744073709551616 ELSE uid END AS BIGINT) AS mention_id,
+       |       "begin", "end", surface,
+       |       trim(regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g')) AS norm_surface,
+       |       gold_entity
+       |FROM ids""".stripMargin
+
   /** Exact brute-force ANN replay: cross join + window in DuckDB, ranked
     * by list_cosine_similarity under the same (cosine DESC, nbr ASC) total
     * order the engine uses. */

@@ -114,6 +114,49 @@ object ErQueries {
       .toDF()
       .select("url", "mention_id", "begin", "end", "surface", "norm_surface", "gold_entity")
 
+  // -- extraction-component aux dumps for the DuckDB gate --------------------
+  // The golden-tested extraction stage dumped at SPAN granularity, so the
+  // oracle can RE-DERIVE er_extract's per-url counts (join + group-by over
+  // the span tables) and er_mentions' surface / norm_surface / mention_id
+  // columns (substring + regex normalization + splitmix64 fold in SQL)
+  // instead of re-selecting those queries' own output.
+
+  private def extractedPages(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    pages(spark, dir).map { p =>
+      val ex = graft.text.Extract.processExtractorText(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+      (p.url, ex)
+    }
+  }
+
+  def auxExtractText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractedPages(spark, dir).map { case (url, ex) => (url, ex.text) }
+      .toDF("url", "text")
+  }
+
+  def auxExtractLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractedPages(spark, dir).flatMap { case (url, ex) =>
+      ex.hyperlinks.map(h => (url, h.begin, h.end, h.target))
+    }.toDF("url", "begin", "end", "target")
+  }
+
+  def auxExtractSynonyms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractedPages(spark, dir).flatMap { case (url, ex) =>
+      ex.titleSynonyms.map(s => (url, s.begin, s.end))
+    }.toDF("url", "begin", "end")
+  }
+
+  def auxExtractSections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractedPages(spark, dir).flatMap { case (url, ex) =>
+      ex.sections.map(s => (url, s.begin, s.end, s.title))
+    }.toDF("url", "begin", "end", "title")
+  }
+
   def erBlockProfile(spark: SparkSession, dir: String): DataFrame =
     Blocking.blockProfile(mentions(spark, dir))
 

@@ -20,29 +20,94 @@ object Clustering {
 
   /** edges: DataFrame(a BIGINT, b BIGINT), undirected, a != b assumed.
     * Returns DataFrame(id BIGINT, cluster BIGINT) for every id appearing in
-    * an edge. Nodes with no edges are absent (callers union singletons). */
-  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    var e = edges
+    * an edge. Nodes with no edges are absent (callers union singletons).
+    *
+    * `checkpointDir`: None (default) cuts per-round lineage with
+    * localCheckpoint — fastest, but blocks live on executors, so an
+    * executor loss forces full recompute and a driver loss loses the run.
+    * Some(dir) switches to RELIABLE per-round Parquet snapshots under
+    * `dir` (HDFS/S3/local via the Hadoop FS API) and makes the loop
+    * resumable mid-iteration — the cluster-deployment mode the north rule
+    * requires ("resumable from checkpoint"). */
+  def connectedComponents(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    checkpointDir match {
+      case Some(dir) => connectedComponentsCheckpointed(spark, edges, dir, maxIter).clusters
+      case None =>
+        val e = normalizeEdges(edges).localCheckpoint(true)
+        withRightSizedShuffle(spark, e.count()) {
+          connectedComponentsLoop(e, maxIter)
+        }
+    }
+
+  private def normalizeEdges(edges: DataFrame): DataFrame =
+    edges
       .select(col("a").cast("long"), col("b").cast("long"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
 
-    // Right-size the loop's shuffle width to the graph: the star-contraction
-    // rounds run O(log n) small jobs, and a width tuned for the scoring
-    // stage (thousands of partitions) would turn each round into a storm of
-    // empty micro-tasks. ~100k edges per partition, capped at the session
-    // parallelism.
-    val nEdges = e.count()
+  /** Right-size the loop's shuffle width to the graph: the star-contraction
+    * rounds run O(log n) small jobs, and a width tuned for the scoring
+    * stage (thousands of partitions) would turn each round into a storm of
+    * empty micro-tasks. ~100k edges per partition, capped at the session
+    * parallelism. */
+  private def withRightSizedShuffle[T](spark: SparkSession, nEdges: Long)(body: => T): T = {
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L + 1)).toInt
     val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      connectedComponentsLoop(e, maxIter)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
-    }
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+  }
+
+  /** One large-star + small-star contraction round (pure plan — callers
+    * choose the materialization: localCheckpoint or a Parquet snapshot). */
+  private def ccRound(e: DataFrame): DataFrame = {
+    // ---- large-star: for each node u, hang strictly-larger neighbors on
+    //      m = min(N(u) ∪ {u})
+    val both = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val mins = both.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    val ls = both
+      .join(mins, Seq("u"))
+      .where(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+
+    // ---- small-star: orient edges high→low, hang all small neighbors
+    //      (and the node itself) on the minimum
+    val dir = ls.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+    val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir
+      .join(mins2, Seq("u"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
+      .distinct()
+  }
+
+  /** Edge-set convergence signature: stable (count, xor-hash) — bit_xor,
+    * not sum: ANSI mode would overflow a sum of 64-bit hashes. */
+  private def edgeSig(e: DataFrame): (Long, Long) = {
+    val sigRow = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
+    (sigRow.getLong(0), sigRow.getLong(1))
+  }
+
+  /** In the converged star forest every edge is (member, center) with
+    * center = component minimum; each node's cluster = min over its edges,
+    * centers map to themselves. */
+  private def starsToClusters(e: DataFrame): DataFrame = {
+    val members = e.select(col("a").as("id"), col("b").as("cluster"))
+    val centers = e.select(col("b").as("id"), col("b").as("cluster"))
+    members.unionAll(centers)
+      .groupBy("id")
+      .agg(min("cluster").as("cluster"))
   }
 
   private def connectedComponentsLoop(edges0: DataFrame, maxIter: Int): DataFrame = {
@@ -52,60 +117,125 @@ object Clustering {
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
     while (!converged && iter < maxIter) {
-      // ---- large-star: for each node u, hang strictly-larger neighbors on
-      //      m = min(N(u) ∪ {u})
-      val both = e.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      val mins = both.groupBy("u").agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val ls = both
-        .join(mins, Seq("u"))
-        .where(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("v").as("a"), col("m").as("b"))
-        .distinct()
-
-      // ---- small-star: orient edges high→low, hang all small neighbors
-      //      (and the node itself) on the minimum
-      val dir = ls.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = dir
-        .join(mins2, Seq("u"))
-        .where(col("v") =!= col("m"))
-        .select(col("v").as("a"), col("m").as("b"))
-        .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
-        .distinct()
+      val ss = ccRound(e)
         // LAZY checkpoint: the signature aggregation below is the action
         // that materializes it — one job per round instead of two (the
         // round count is diameter-bound, so per-round scheduler latency is
         // the dominant cost on small graphs)
         .localCheckpoint(false)
 
-      // convergence: stable (count, xor-hash) signature of the edge set
-      // (bit_xor, not sum: ANSI mode would overflow a sum of 64-bit hashes)
-      val sigRow = ss.agg(
-        count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
-      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      val sig = edgeSig(ss)
       converged = sig == prevSig
       prevSig = sig
       e = ss
       iter += 1
     }
 
-    // In the converged star forest every edge is (member, center) with
-    // center = component minimum; each node's cluster = min over its edges,
-    // centers map to themselves.
-    val members = e.select(col("a").as("id"), col("b").as("cluster"))
-    val centers = e.select(col("b").as("id"), col("b").as("cluster"))
-    members.unionAll(centers)
-      .groupBy("id")
-      .agg(min("cluster").as("cluster"))
+    starsToClusters(e)
+  }
+
+  /** Result of a reliable-checkpoint CC run: the cluster table plus the
+    * resume bookkeeping a caller (or a lineage manifest) records. */
+  final case class CcRun(clusters: DataFrame, resumedFromRound: Int, roundsComputed: Int, converged: Boolean)
+
+  /** Connected components with RELIABLE per-round snapshots: every
+    * star-contraction round commits its edge set as Parquet under
+    * `dir/round_NNNNN` plus a MANIFEST (row count + xor-hash signature +
+    * converged flag), written only after the Parquet commit succeeds. A
+    * restarted run scans for the last complete round and resumes the loop
+    * there instead of re-deriving it — each round is a pure function of
+    * the previous edge set, so resume is exact. Round 0 is the normalized
+    * input edge set, so resume never re-reads the upstream either.
+    *
+    * Trade-off vs localCheckpoint: one Parquet write + read per round
+    * (the write doubles as the materialization action), in exchange for
+    * surviving executor AND driver loss — the mode to use on a real
+    * cluster; the in-memory path remains the default for interactive
+    * sessions. */
+  def connectedComponentsCheckpointed(
+      spark: SparkSession,
+      edges: DataFrame,
+      dir: String,
+      maxIter: Int = 50): CcRun = {
+    import org.apache.hadoop.fs.Path
+    // Namespace the rounds by the INPUT edge-set signature: a caller that
+    // reuses one dir across runs (the pipeline runner does) must not
+    // resume contraction rounds of a different upstream graph. Computing
+    // the signature costs one aggregation over the input — on a resumed
+    // pipeline the input is the match_edges snapshot, a cheap scan.
+    val norm = normalizeEdges(edges)
+    val inputSig = edgeSig(norm)
+    val root = new Path(new Path(dir),
+      s"cc_${inputSig._1}_${java.lang.Long.toUnsignedString(inputSig._2)}")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def roundPath(i: Int) = new Path(root, f"round_$i%05d")
+    // underscore prefix: Spark's file index skips _-prefixed files, so the
+    // manifest never gets picked up as a parquet footer
+    def manifestPath(i: Int) = new Path(roundPath(i), "_MANIFEST")
+
+    // _MANIFEST: "round n h converged" — plain text, written AFTER the
+    // Parquet commit so its presence marks the round complete.
+    def writeManifest(i: Int, sig: (Long, Long), converged: Boolean): Unit = {
+      val out = fs.create(manifestPath(i), true)
+      try out.write(s"$i ${sig._1} ${sig._2} $converged".getBytes("UTF-8"))
+      finally out.close()
+    }
+    def readManifest(i: Int): (Long, Long, Boolean) = {
+      val in = fs.open(manifestPath(i))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val parts = txt.trim.split(' ')
+      (parts(1).toLong, parts(2).toLong, parts(3).toBoolean)
+    }
+    def commitRound(i: Int, e: DataFrame, prevSig: Option[(Long, Long)]): (DataFrame, (Long, Long), Boolean) = {
+      e.write.mode("overwrite").parquet(roundPath(i).toString)
+      val reread = spark.read.parquet(roundPath(i).toString)
+      val sig = edgeSig(reread)
+      val converged = prevSig.contains(sig)
+      writeManifest(i, sig, converged)
+      (reread, sig, converged)
+    }
+
+    // resume point: the last round whose MANIFEST exists (a crash between
+    // Parquet write and manifest leaves the round incomplete → recomputed)
+    var last = -1
+    while (last + 1 <= maxIter && fs.exists(manifestPath(last + 1))) last += 1
+
+    var iter = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var converged = false
+    var e: DataFrame = null
+    if (last < 0) {
+      val (e0, sig0, _) = commitRound(0, norm, None)
+      e = e0; prevSig = sig0
+    } else {
+      val (n, h, c) = readManifest(last)
+      e = spark.read.parquet(roundPath(last).toString)
+      prevSig = (n, h); converged = c; iter = last
+    }
+    val resumedFrom = math.max(last, 0)
+
+    val nEdges = prevSig._1
+    var computed = 0
+    withRightSizedShuffle(spark, nEdges) {
+      while (!converged && iter < maxIter) {
+        val (next, sig, conv) = commitRound(iter + 1, ccRound(e), Some(prevSig))
+        e = next; prevSig = sig; converged = conv
+        iter += 1; computed += 1
+      }
+    }
+    CcRun(starsToClusters(e), resumedFrom, computed, converged)
   }
 
   /** Cluster assignment for every mention id in `ids` (singletons become
-    * their own cluster). ids: DataFrame(id BIGINT). */
-  def assign(spark: SparkSession, ids: DataFrame, matchEdges: DataFrame): DataFrame = {
-    val cc = connectedComponents(spark, matchEdges)
+    * their own cluster). ids: DataFrame(id BIGINT). `checkpointDir` as in
+    * [[connectedComponents]]: Some(dir) = reliable, resumable rounds. */
+  def assign(
+      spark: SparkSession,
+      ids: DataFrame,
+      matchEdges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(spark, matchEdges, checkpointDir = checkpointDir)
     ids.select(col("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

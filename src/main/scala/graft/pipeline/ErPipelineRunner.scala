@@ -44,8 +44,12 @@ object ErPipelineRunner {
     })
 
     val clusters = track(Pipeline.stage(spark, root, "clusters", upstream = Seq("match_edges")) {
+      // reliable per-round CC snapshots under the pipeline root: a run
+      // killed mid-loop resumes the contraction at its last complete
+      // round, not from the match_edges snapshot
       Clustering.assign(spark,
-        mentions.select(col("mention_id").as("id")), edges)
+        mentions.select(col("mention_id").as("id")), edges,
+        checkpointDir = Some(s"$root/_cc_rounds"))
     })
 
     RunResult(clusters, computed.result(), cached.result())

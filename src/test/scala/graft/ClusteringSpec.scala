@@ -56,6 +56,38 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointed CC: kill mid-loop, resume at the last complete round, exact result") {
+    import spark.implicits._
+    val edges = (0L until 120L).map(i => (i, (i + 11) % 120)) ++ Seq((500L, 501L), (501L, 502L))
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val df = edges.toDF("a", "b")
+
+    // simulated kill: cap the loop at one contraction round
+    val partial = Clustering.connectedComponentsCheckpointed(spark, df, dir, maxIter = 1)
+    assert(!partial.converged, "120-node cycle cannot converge in one round")
+    assert(partial.roundsComputed == 1 && partial.resumedFromRound == 0)
+
+    // restart: picks up at round 1 (round 0 + 1 are snapshotted), converges,
+    // and the clusters equal the union-find oracle / in-memory loop
+    val resumed = Clustering.connectedComponentsCheckpointed(spark, df, dir, maxIter = 50)
+    assert(resumed.resumedFromRound == 1, "second run must resume, not recompute round 1")
+    assert(resumed.converged)
+    val got = resumed.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ufComponents(edges))
+
+    // a third invocation resumes the CONVERGED snapshot: zero rounds run
+    val again = Clustering.connectedComponentsCheckpointed(spark, df, dir, maxIter = 50)
+    assert(again.converged && again.roundsComputed == 0)
+
+    // a different edge set through the same dir must not resume stale
+    // rounds (input-signature namespacing)
+    val edges2 = edges :+ ((502L, 0L))
+    val r2 = Clustering.connectedComponentsCheckpointed(spark, edges2.toDF("a", "b"), dir, maxIter = 50)
+    assert(r2.resumedFromRound == 0)
+    val got2 = r2.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == ufComponents(edges2))
+  }
+
   test("CC is deterministic under different input partitioning") {
     import spark.implicits._
     val edges = (0L until 200L).map(i => (i, (i + 7) % 200)) ++ Seq((500L, 600L))

@@ -80,6 +80,7 @@ object SparkEntry {
     // eval_cases, whose case logic has no SQL form)
     "kb_link_freq" -> (EvalQueries.kbLinkFreq(_, _)),
     "kb_top_candidates" -> (EvalQueries.kbTopCandidates(_, _)),
+    "kb_alias_probs" -> (EvalQueries.kbAliasProbs(_, _)),
     "eval_oracle_counts" -> (EvalQueries.evalOracleCounts(_, _)),
     "eval_baseline_counts" -> (EvalQueries.evalBaselineCounts(_, _)),
     "eval_cases" -> (EvalQueries.evalCases(_, _)),
@@ -161,6 +162,7 @@ object SparkEntry {
     // (`{OUT}` resolves to the dump dir) or full DuckDB re-expression
     "kb_link_freq" -> AuxOracles.kbLinkFreqSql,
     "kb_top_candidates" -> AuxOracles.kbTopCandidatesSql,
+    "kb_alias_probs" -> AuxOracles.kbAliasProbsSql,
     "eval_oracle_counts" -> AuxOracles.evalOracleCountsSql,
     "eval_baseline_counts" -> AuxOracles.evalBaselineCountsSql,
     "er_block_profile" -> AuxOracles.erBlockProfileSql,

@@ -79,6 +79,24 @@ object KbBuild {
   def aliasFrequency(linkFreq: DataFrame): DataFrame =
     linkFreq.groupBy(col("link_text").as("alias")).agg(sum(col("freq")).as("freq"))
 
+  /** Alias → candidate-probability table: the relational kernel of the
+    * spaCy-KB build loop (knowledge_base_creator.py:36-51 — per alias,
+    * p(entity) = link frequency / alias total, uniform 1/n when the total
+    * is zero, empty aliases skipped). The spaCy vocab/vector serialization
+    * around it is model-bound (declared out of scope); this table is the
+    * per-alias information the KB stores. One windowed pass over the
+    * link-frequency dimension — no extra shuffle beyond the alias key. */
+  def aliasCandidateProbs(linkFreq: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("link_text"))
+    linkFreq
+      .where(length(col("link_text")) > 0)
+      .withColumn("total", sum(col("freq")).over(w))
+      .withColumn("n_cands", count(lit(1)).over(w))
+      .select(col("link_text").as("alias"), col("entity_id"),
+        when(col("total") > 0, col("freq").cast("double") / col("total").cast("double"))
+          .otherwise(lit(1.0) / col("n_cands").cast("double")).as("prob"))
+  }
+
   /** A5 — entity frequency: total link count per entity
     * (entity_database.py:379-384). */
   def entityFrequency(linkFreq: DataFrame): DataFrame =

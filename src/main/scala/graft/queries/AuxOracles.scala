@@ -35,6 +35,19 @@ object AuxOracles {
       |       CAST(max(freq) AS BIGINT) AS freq
       |FROM rk WHERE rnk = 1 GROUP BY link_text""".stripMargin
 
+  /** kb_alias_probs replay: per-alias candidate probabilities from the
+    * hyperlink dump. DOUBLE-valued but exact: both engines divide the
+    * same two integers in IEEE double (ta_quality precedent). */
+  val kbAliasProbsSql: String =
+    """WITH lf AS (SELECT norm_text AS alias, target AS entity_id, count(*) AS freq
+      |            FROM '{OUT}/aux_hyperlinks/*.parquet' GROUP BY 1, 2),
+      |tot AS (SELECT alias, sum(freq) AS total, count(*) AS n FROM lf GROUP BY alias)
+      |SELECT lf.alias, lf.entity_id,
+      |       CASE WHEN tot.total > 0 THEN CAST(lf.freq AS DOUBLE) / CAST(tot.total AS DOUBLE)
+      |            ELSE 1.0 / CAST(tot.n AS DOUBLE) END AS prob
+      |FROM lf JOIN tot ON lf.alias = tot.alias
+      |WHERE length(lf.alias) > 0""".stripMargin
+
   val evalOracleCountsSql: String =
     """SELECT mode, category, CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
       |       CAST(sum(fn) AS BIGINT) AS fn

@@ -49,6 +49,9 @@ object EvalQueries {
     KbBuild.mostPopularCandidates(kbLinkFreq(spark, dir))
       .withColumn("candidates", concat_ws(",", col("candidates")))
 
+  def kbAliasProbs(spark: SparkSession, dir: String): DataFrame =
+    KbBuild.aliasCandidateProbs(kbLinkFreq(spark, dir))
+
   /** Session-scoped memo of the eval family's shared upstream, mirroring
     * ErQueries.Shared: three catalog queries (eval_oracle_counts,
     * eval_baseline_counts, eval_cases) plus two Verify aux dumps all

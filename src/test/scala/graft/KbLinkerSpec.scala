@@ -23,6 +23,24 @@ class KbLinkerSpec extends AnyFunSuite {
     assert(hot.count() > 1)
   }
 
+  test("alias candidate probabilities: freq/total per alias, sums to 1, uniform fallback") {
+    import spark.implicits._
+    val lf = Seq(
+      ("acme", "E1", 3L), ("acme", "E2", 1L),
+      ("solo", "E9", 5L),
+      ("", "E0", 2L) // empty alias: reference skips it (len(alias) > 0)
+    ).toDF("link_text", "entity_id", "freq")
+    val probs = KbBuild.aliasCandidateProbs(lf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(probs == Map(
+      ("acme", "E1") -> 0.75, ("acme", "E2") -> 0.25, ("solo", "E9") -> 1.0))
+    // per-alias probabilities sum to 1 on the full synthetic corpus too
+    val sums = KbBuild.aliasCandidateProbs(KbBuild.linkFrequencies(pages))
+      .groupBy("alias").agg(sum("prob").as("s"))
+      .where(abs(col("s") - 1.0) > 1e-9)
+    assert(sums.count() == 0)
+  }
+
   test("A2 most popular candidates: rank-1 ties kept as sorted set") {
     val lf = KbBuild.linkFrequencies(pages)
     val mp = KbBuild.mostPopularCandidates(lf).cache()

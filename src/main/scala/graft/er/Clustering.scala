@@ -37,17 +37,58 @@ object Clustering {
     checkpointDir match {
       case Some(dir) => connectedComponentsCheckpointed(spark, edges, dir, maxIter).clusters
       case None =>
-        val e = normalizeEdges(edges).localCheckpoint(true)
+        val e = localContract(normalizeEdges(edges)).localCheckpoint(true)
         withRightSizedShuffle(spark, e.count()) {
           connectedComponentsLoop(e, maxIter)
         }
     }
 
+  /** Cast + drop self-loops. Deliberately NO distinct: the input-scale
+    * dedup shuffle (one full pass over the edge volume) is redundant once
+    * localContract runs — union-find absorbs duplicate and bidirectional
+    * edges for free, and every loop round distincts its own (much
+    * smaller) output. */
   private def normalizeEdges(edges: DataFrame): DataFrame =
     edges
       .select(col("a").cast("long"), col("b").cast("long"))
       .where(col("a") =!= col("b"))
-      .distinct()
+
+  /** Partition-local union-find contraction: each partition replaces its
+    * edges by the star (node → local-component minimum). Connectivity-
+    * preserving (every original edge lies inside one local star) and
+    * node-preserving (a local component has >= 2 nodes, so its minimum
+    * survives as a target), so the global components — and the min-id
+    * cluster labels — are unchanged. One NARROW pass, no shuffle; it cuts
+    * the edge volume the O(log n) global loop must shuffle per round.
+    * Blocking-derived match graphs are near-cliques, so even the random
+    * slice of a clique landing in one partition connects most of its
+    * nodes (k²/P edges over k nodes) and most edges collapse here. The
+    * contracted edge SET depends on the incoming partitioning; the final
+    * clusters are invariant (ClusteringSpec property tests). */
+  private def localContract(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select(col("a"), col("b")).as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        // union-by-min: the root is always the component minimum
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.foreachKey { n => val r = find(n); if (n != r) out += ((n, r)) }
+      out.iterator
+    }.toDF("a", "b")
+  }
 
   /** Right-size the loop's shuffle width to the graph: the star-contraction
     * rounds run O(log n) small jobs, and a width tuned for the scoring
@@ -206,7 +247,7 @@ object Clustering {
     var converged = false
     var e: DataFrame = null
     if (last < 0) {
-      val (e0, sig0, _) = commitRound(0, norm, None)
+      val (e0, sig0, _) = commitRound(0, localContract(norm), None)
       e = e0; prevSig = sig0
     } else {
       val (n, h, c) = readManifest(last)

@@ -265,7 +265,8 @@ object Dedup {
       nHashes: Int = 64,
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096,
+      nearPairs: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     val hashed = df.select(
       col(idCol).cast("long").as("id"),
@@ -276,8 +277,14 @@ object Dedup {
       .select(col("id"), col("gmin"), (col("gsz") > 1).as("has_exact"))
     val exactEdges = withG.where(col("id") =!= col("gmin"))
       .select(col("id").as("a"), col("gmin").as("b"))
-    val nearEdges = minhashPairs(df, idCol, textCol, shingleK, nHashes,
-      rowsPerBand, minJaccard, maxBucket)
+    // `nearPairs`: a caller that has ALREADY materialized the minhash pair
+    // table (id_a, id_b) for the same (input, shingleK, nHashes,
+    // rowsPerBand, minJaccard, maxBucket) can pass it in to skip the
+    // second signature computation — the catalog surfaces one pair table
+    // to two queries this way.
+    val nearEdges = nearPairs
+      .getOrElse(minhashPairs(df, idCol, textCol, shingleK, nHashes,
+        rowsPerBand, minJaccard, maxBucket))
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val cc = graft.er.Clustering.connectedComponents(
       spark, exactEdges.unionByName(nearEdges))

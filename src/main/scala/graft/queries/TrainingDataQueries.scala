@@ -23,12 +23,38 @@ object TrainingDataQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Session memo of the MinHash pair table: dd_minhash_pairs and
+    * dd_survivors consume the IDENTICAL (input, shingleK=5, nHashes=64,
+    * rowsPerBand=8, minJaccard=0.35) pair set, and the signature
+    * computation dominates both — one computation per session instead of
+    * two (ErQueries.Shared pattern: keyed by application id, other
+    * applications' entries evicted + unpersisted on access). The persisted
+    * table is the small PAIR set, not the signatures — Dedup's internal
+    * signature caches stay per-query (releaseSignatures discipline). */
+  private val minhashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    val it = minhashMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.startsWith(app + "|")) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    minhashMemo.computeIfAbsent(app + "|" + dir, _ =>
+      Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
+        shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** MinHash-LSH near-dup candidates. The synthetic documents share a
     * 31-word vocabulary, so a moderate threshold yields a non-trivial
     * pair set. */
   def ddMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
-      shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35)
+    minhashPairsShared(spark, dir)
 
   def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     // explicit finite cap: this surface is the web-scale path, so bounded
@@ -38,10 +64,12 @@ object TrainingDataQueries {
       maxBucket = 4096)
 
   /** Keep/drop decision table: exact + minhash tiers, transitive closure,
-    * min-id survivor (the deliverable a training pipeline consumes). */
+    * min-id survivor (the deliverable a training pipeline consumes).
+    * Reuses the session's memoized minhash pair table. */
   def ddSurvivors(spark: SparkSession, dir: String): DataFrame =
     Dedup.survivors(docs(spark, dir), "doc_id", "text",
-      shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35)
+      shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35,
+      nearPairs = Some(minhashPairsShared(spark, dir)))
 
   def ddEmbeddingDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(embs(spark, dir), "vec_id", "embedding",

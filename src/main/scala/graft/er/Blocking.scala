@@ -158,20 +158,23 @@ object Blocking {
     * reproduces). */
   def blockProfile(mentions: Dataset[Mention], cfg: Config = Config()): DataFrame = {
     // ONE pass over the corpus-scale keyed relation: block sizes → the
-    // distinct-size histogram, PERSISTED so the downstream branches
-    // (totals, the cumulative self-join, p99) reuse it. Without this the
-    // executed plan showed zero ReusedExchange — the keying + groupBy
-    // chain (the only corpus-scale stage) ran once per branch. The
-    // histogram is bounded by sqrt(2 * n_mentions) distinct sizes —
-    // trivially cacheable at any corpus scale — and the cache manager
-    // dedupes repeated calls by canonicalized plan, so catalog surfaces
-    // that call this more than once share one entry.
+    // distinct-size histogram, materialized once (lazy localCheckpoint)
+    // so the downstream branches (totals, the cumulative self-join, p99)
+    // reuse it. Without this the executed plan showed zero ReusedExchange
+    // — the keying + groupBy chain (the only corpus-scale stage) ran once
+    // per branch. The histogram is bounded by sqrt(2 * n_mentions)
+    // distinct sizes — tiny at any corpus scale. localCheckpoint, not
+    // persist(): checkpointed RDD blocks are reclaimed by the
+    // ContextCleaner when the plan becomes unreachable, whereas a
+    // cacheManager persist would pin one session-lifetime entry per
+    // distinct (mentions, cfg) input with no release point in this
+    // single-expression API.
     val g = keyed(mentions, cfg)
       .groupBy("key")
       .agg(count("*").as("block_size"))
       .groupBy("block_size")
       .agg(count(lit(1)).as("c"))
-      .persist()
+      .localCheckpoint(false)
     val tot = g.agg(
       coalesce(sum(col("c")), lit(0L)).as("n_blocks"),
       max(col("block_size")).as("max_block"),

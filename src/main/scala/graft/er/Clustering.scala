@@ -192,7 +192,14 @@ object Clustering {
     * (the write doubles as the materialization action), in exchange for
     * surviving executor AND driver loss — the mode to use on a real
     * cluster; the in-memory path remains the default for interactive
-    * sessions. */
+    * sessions.
+    *
+    * Storage discipline: `dir` is SINGLE-WRITER (one CC job at a time —
+    * the pipeline runner gives each stage its own dir). On entry, sibling
+    * `cc_*` namespaces (superseded upstream graphs) are deleted; after
+    * convergence, all rounds but the final one are deleted, so the dir
+    * holds at most one edge-set copy at rest and O(log n) only while a
+    * run is in flight. */
   def connectedComponentsCheckpointed(
       spark: SparkSession,
       edges: DataFrame,
@@ -206,9 +213,13 @@ object Clustering {
     // pipeline the input is the match_edges snapshot, a cheap scan.
     val norm = normalizeEdges(edges)
     val inputSig = edgeSig(norm)
-    val root = new Path(new Path(dir),
+    val rawRoot = new Path(new Path(dir),
       s"cc_${inputSig._1}_${java.lang.Long.toUnsignedString(inputSig._2)}")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = rawRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualified form: listStatus returns scheme-qualified paths, and the
+    // sibling prune below compares against this — an unqualified root
+    // would compare unequal to ITSELF and be deleted
+    val root = fs.makeQualified(rawRoot)
 
     def roundPath(i: Int) = new Path(root, f"round_$i%05d")
     // underscore prefix: Spark's file index skips _-prefixed files, so the
@@ -216,18 +227,29 @@ object Clustering {
     def manifestPath(i: Int) = new Path(roundPath(i), "_MANIFEST")
 
     // _MANIFEST: "round n h converged" — plain text, written AFTER the
-    // Parquet commit so its presence marks the round complete.
+    // Parquet commit so its presence marks the round complete. The write
+    // itself is temp-file + rename: fs.create makes a path visible before
+    // its bytes land, so a crash mid-write must never leave a truncated
+    // manifest that wedges every future resume.
     def writeManifest(i: Int, sig: (Long, Long), converged: Boolean): Unit = {
-      val out = fs.create(manifestPath(i), true)
+      val tmp = new Path(roundPath(i), "_MANIFEST.tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"$i ${sig._1} ${sig._2} $converged".getBytes("UTF-8"))
       finally out.close()
+      fs.delete(manifestPath(i), false)
+      if (!fs.rename(tmp, manifestPath(i)))
+        throw new java.io.IOException(s"rename failed for ${manifestPath(i)}")
     }
-    def readManifest(i: Int): (Long, Long, Boolean) = {
-      val in = fs.open(manifestPath(i))
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val parts = txt.trim.split(' ')
-      (parts(1).toLong, parts(2).toLong, parts(3).toBoolean)
-    }
+    // A manifest that exists but does not parse (pre-rename crash debris,
+    // manual tampering) counts as an INCOMPLETE round: the scan stops
+    // before it and the round is recomputed.
+    def readManifest(i: Int): Option[(Long, Long, Boolean)] =
+      try {
+        val in = fs.open(manifestPath(i))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val parts = txt.trim.split(' ')
+        Some((parts(1).toLong, parts(2).toLong, parts(3).toBoolean))
+      } catch { case _: Exception => None }
     def commitRound(i: Int, e: DataFrame, prevSig: Option[(Long, Long)]): (DataFrame, (Long, Long), Boolean) = {
       e.write.mode("overwrite").parquet(roundPath(i).toString)
       val reread = spark.read.parquet(roundPath(i).toString)
@@ -239,8 +261,41 @@ object Clustering {
 
     // resume point: the last round whose MANIFEST exists (a crash between
     // Parquet write and manifest leaves the round incomplete → recomputed)
+    // Prune SIBLING namespaces: under one caller-owned dir, a different
+    // input signature means a superseded upstream graph — its rounds can
+    // never be resumed again and would otherwise accumulate one edge-set
+    // Parquet copy per round per historical run.
+    try {
+      val parent = root.getParent
+      if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("cc_") && st.getPath != root)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: Exception => () }
+
+    // resume point: the HIGHEST round with a COMPLETE (present + parsable)
+    // manifest — found by listing, not by contiguous probing, because
+    // post-convergence pruning deletes the superseded earlier rounds
     var last = -1
-    while (last + 1 <= maxIter && fs.exists(manifestPath(last + 1))) last += 1
+    var lastManifest: Option[(Long, Long, Boolean)] = None
+    if (fs.exists(root)) {
+      val rounds = fs.listStatus(root).flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("round_"))
+          scala.util.Try(n.stripPrefix("round_").toInt).toOption
+        else None
+      }.sorted.reverse
+      var i = 0
+      while (i < rounds.length && lastManifest.isEmpty) {
+        val r = rounds(i)
+        if (r <= maxIter && fs.exists(manifestPath(r))) {
+          val m = readManifest(r)
+          if (m.isDefined) { last = r; lastManifest = m }
+        }
+        i += 1
+      }
+    }
 
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
@@ -250,7 +305,7 @@ object Clustering {
       val (e0, sig0, _) = commitRound(0, localContract(norm), None)
       e = e0; prevSig = sig0
     } else {
-      val (n, h, c) = readManifest(last)
+      val (n, h, c) = lastManifest.get
       e = spark.read.parquet(roundPath(last).toString)
       prevSig = (n, h); converged = c; iter = last
     }
@@ -263,6 +318,17 @@ object Clustering {
         val (next, sig, conv) = commitRound(iter + 1, ccRound(e), Some(prevSig))
         e = next; prevSig = sig; converged = conv
         iter += 1; computed += 1
+      }
+    }
+    // After convergence only the FINAL round is ever read again (a
+    // re-invocation resumes it instantly with zero rounds computed) —
+    // delete the superseded earlier rounds so the namespace holds one
+    // edge-set copy, not O(log n) of them.
+    if (converged) {
+      var i = 0
+      while (i < iter) {
+        try fs.delete(roundPath(i), true) catch { case _: Exception => () }
+        i += 1
       }
     }
     CcRun(starsToClusters(e), resumedFrom, computed, converged)

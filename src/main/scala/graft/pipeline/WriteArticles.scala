@@ -112,8 +112,21 @@ object WriteArticles {
     sb.toString
   }
 
+  /** CPython `s[a:b]`: negative indices count from the end, then both
+    * clamp — total, never throws. The annotation builders run over
+    * span-offset arithmetic (`begin - offset` in evaluation-span mode),
+    * and a label outside the evaluation span yields NEGATIVE indices: the
+    * reference's slicing then produces defined (if odd) output where Java
+    * substring would throw and kill the Spark task. */
+  def pySliceAt(s: String, a: Int, b: Int): String = {
+    val n = s.length
+    val lo = math.max(0, math.min(if (a < 0) a + n else a, n))
+    val hi = math.max(0, math.min(if (b < 0) b + n else b, n))
+    if (lo >= hi) "" else s.substring(lo, hi)
+  }
+
   private def splice(text: String, begin: Int, end: Int, repl: String): String =
-    text.substring(0, begin) + repl + text.substring(end)
+    pySliceAt(text, 0, begin) + repl + pySliceAt(text, end, text.length)
 
   // ---------- annotation text builders (write_articles.py:52-165) ------------
 
@@ -131,7 +144,7 @@ object WriteArticles {
     for (l <- a.labels.sortBy(-_.id)) {
       val begin = l.begin - offset
       val end = l.end - offset
-      val snippet = text.substring(begin, end)
+      val snippet = pySliceAt(text, begin, end)
       val name = names.getOrElse(l.entityId, "Unknown")
       text = splice(text, begin, end, s"[${l.entityId}:$name|$snippet]")
       seen += l.entityId
@@ -147,7 +160,7 @@ object WriteArticles {
       if (l.parent.isEmpty && !l.isOptional && !isUnknownEntity(l.entityId)) {
         val begin = l.begin - offset
         val end = l.end - offset
-        text = splice(text, begin, end, s"[[${text.substring(begin, end)}]]")
+        text = splice(text, begin, end, s"[[${pySliceAt(text, begin, end)}]]")
       }
     }
     text
@@ -169,7 +182,7 @@ object WriteArticles {
       if (!isUnknownEntity(m.entityId)) {
         val begin = m.begin - offset
         val end = m.end - offset
-        val snippet = text.substring(begin, end)
+        val snippet = pySliceAt(text, begin, end)
         val name = names.getOrElse(m.entityId, "Unknown")
         text = splice(text, begin, end, s"[${m.entityId}:$name|$snippet]")
         order += m.entityId
@@ -207,7 +220,7 @@ object WriteArticles {
     for (h <- all) {
       val begin = h.begin - offset
       val end = h.end - offset
-      val snippet = text.substring(begin, end)
+      val snippet = pySliceAt(text, begin, end)
       val repl =
         if (snippet == h.target) s"[[${h.target}]]" else s"[[${h.target}|$snippet]]"
       text = splice(text, begin, end, repl)
@@ -225,13 +238,13 @@ object WriteArticles {
     // the annotated path re-slices from the raw text itself)
     var text = a.text
     if (opts.evaluationSpan) {
-      val span = a.text.substring(a.evalBegin, a.evalEnd)
+      val span = pySliceAt(a.text, a.evalBegin, a.evalEnd)
       text = if (span != a.text) span + "\n" else text
     }
 
     opts.annotation.foreach { ann =>
       val (offset, base) =
-        if (opts.evaluationSpan) (a.evalBegin, a.text.substring(a.evalBegin, a.evalEnd))
+        if (opts.evaluationSpan) (a.evalBegin, pySliceAt(a.text, a.evalBegin, a.evalEnd))
         else (0, a.text)
       val (annotated, entities) = ann match {
         case Labels => labeledText(a, names, offset, base)

@@ -48,6 +48,17 @@ object ErQueries {
     lazy val mentions: Dataset[Mention] =
       Mentions.fromPages(pages(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
 
+    /** Raw extraction output per url — shared by the four aux_extract_*
+      * dumps (each is a projection; without this Verify would run the
+      * corpus-scale extraction pass once per dump). */
+    lazy val extracted: Dataset[(String, graft.model.Extracted)] = {
+      import spark.implicits._
+      pages(spark, dir).map { p =>
+        (p.url, graft.text.Extract.processExtractorText(
+          new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
     /** Deduplicated scored candidate-pair universe — ONE fused
       * blocking+scoring shuffle per session (J1/J8/J9). Duplicate rows
       * across block keys are bit-identical, so the drop is deterministic. */
@@ -70,6 +81,7 @@ object ErQueries {
     def unpersistAll(): Unit = {
       try clusters.unpersist(false) catch { case _: Throwable => () }
       try scoredPairs.unpersist(false) catch { case _: Throwable => () }
+      try extracted.unpersist(false) catch { case _: Throwable => () }
       try mentions.unpersist(false) catch { case _: Throwable => () }
     }
   }
@@ -121,14 +133,8 @@ object ErQueries {
   // columns (substring + regex normalization + splitmix64 fold in SQL)
   // instead of re-selecting those queries' own output.
 
-  private def extractedPages(spark: SparkSession, dir: String) = {
-    import spark.implicits._
-    pages(spark, dir).map { p =>
-      val ex = graft.text.Extract.processExtractorText(
-        new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
-      (p.url, ex)
-    }
-  }
+  private def extractedPages(spark: SparkSession, dir: String) =
+    shared(spark, dir).extracted
 
   def auxExtractText(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

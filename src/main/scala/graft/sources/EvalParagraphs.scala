@@ -76,7 +76,16 @@ object EvalParagraphs {
   def withEvalSpans(articles: Dataset[CorpusArticle]): DataFrame = {
     val spark = articles.sparkSession
     import spark.implicits._
+    // localCheckpoint: the ordinals are consumed by TWO passes (the counts
+    // collect and the output map). zipWithIndex re-evaluated over a
+    // nondeterministically-ordered upstream (e.g. a round-robin
+    // repartition) could assign DIFFERENT ords in the second pass,
+    // silently applying article B's plan to article A — pinning the
+    // (ord, article) pairs once makes the ords a fact, not a recipe, and
+    // also avoids re-running the upstream extraction twice. Blocks are
+    // reclaimed by the ContextCleaner when the job's RDDs go out of scope.
     val withOrd = articles.rdd.zipWithIndex().map { case (a, ord) => (ord, a) }
+      .localCheckpoint()
     val counts = withOrd
       .map { case (ord, a) => (ord, effectiveParagraphs(a.text)) }
       .collect().sortBy(_._1).map(_._2)

@@ -27,29 +27,39 @@ object TypesMappings {
 
   /** BFS min-depth closure over (sub, sup) edges → (start, cls, depth>=1).
     * Frontier-only extension: each round joins just the newly-reached
-    * pairs against the edge list, left-anti against the closure so a pair
-    * is kept at its FIRST (= minimum) depth. localCheckpoint per round
-    * cuts the growing lineage like er.Clustering. */
+    * pairs against the edge list, left-anti against the ACCUMULATED
+    * closure so a pair is kept at its FIRST (= minimum) depth. Only the
+    * per-round FRONTIER is localCheckpointed — the closure is a lazy
+    * union over those already-materialized frontiers, so round k does
+    * NOT re-copy the pairs found in rounds 1..k-1 (the previous
+    * closure-per-round checkpoint paid O(depth × |closure|) copy work).
+    * A hierarchy deeper than maxIter logs a loud warning instead of
+    * silently truncating. */
   def typeClosure(subclassOf: DataFrame, maxIter: Int = 64): DataFrame = {
     val edges = subclassOf.select(
       col(subclassOf.columns(0)).as("e_sub"), col(subclassOf.columns(1)).as("e_sup"))
       .distinct().persist()
     edges.count()
-    var closure = edges.select(col("e_sub").as("start"), col("e_sup").as("cls"),
+    var frontier = edges.select(col("e_sub").as("start"), col("e_sup").as("cls"),
       lit(1).as("depth")).localCheckpoint()
-    var frontier = closure
+    val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    def closureSoFar: DataFrame = frontiers.reduce(_ union _)
     var iter = 1
     while (iter < maxIter && !frontier.isEmpty) {
       val ext = frontier.join(edges, frontier("cls") === edges("e_sub"))
         .select(frontier("start"), edges("e_sup").as("cls"),
           (frontier("depth") + 1).as("depth"))
         .groupBy(col("start"), col("cls")).agg(min(col("depth")).as("depth"))
-      frontier = ext.join(closure, Seq("start", "cls"), "left_anti").localCheckpoint()
-      closure = closure.union(frontier).localCheckpoint()
+      frontier = ext.join(closureSoFar, Seq("start", "cls"), "left_anti").localCheckpoint()
+      if (!frontier.isEmpty) frontiers += frontier
       iter += 1
     }
+    if (iter >= maxIter && !frontier.isEmpty)
+      System.err.println(
+        s"[TypesMappings] WARNING: type closure truncated at depth $maxIter " +
+          "with a non-empty frontier — results are incomplete; raise maxIter")
     edges.unpersist()
-    closure
+    closureSoFar
   }
 
   /** create_all_types_mapping.py main: sitelink-filtered entities, direct

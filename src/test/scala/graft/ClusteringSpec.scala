@@ -86,6 +86,26 @@ class ClusteringSpec extends AnyFunSuite {
     assert(r2.resumedFromRound == 0)
     val got2 = r2.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == ufComponents(edges2))
+
+    // storage discipline: the stale sibling namespace was pruned on entry
+    // and the converged run kept only its FINAL round — one round dir and
+    // one manifest total under the checkpoint dir
+    import scala.jdk.CollectionConverters._
+    def walk(pred: java.nio.file.Path => Boolean): Seq[java.nio.file.Path] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try st.iterator().asScala.filter(pred).toList finally st.close()
+    }
+    assert(walk(_.getFileName.toString.startsWith("round_")).size == 1)
+    val manifests = walk(_.getFileName.toString == "_MANIFEST")
+    assert(manifests.size == 1)
+
+    // a truncated/corrupt manifest counts as an INCOMPLETE round: the next
+    // run recomputes instead of crashing on parse
+    java.nio.file.Files.write(manifests.head, "garbage".getBytes("UTF-8"))
+    val r3 = Clustering.connectedComponentsCheckpointed(spark, edges2.toDF("a", "b"), dir, maxIter = 50)
+    assert(r3.resumedFromRound == 0 && r3.converged)
+    val got3 = r3.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == ufComponents(edges2))
   }
 
   test("CC is deterministic under different input partitioning") {

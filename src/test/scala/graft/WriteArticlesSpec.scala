@@ -105,6 +105,26 @@ class WriteArticlesSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-span labels splice via Python slice semantics instead of throwing") {
+    // evaluation span (5,10) over "0123456789" → offset 5, text "56789";
+    // a label at (1,3) lands at NEGATIVE relative indices. The reference's
+    // Python slicing yields text[-4:-2]="67", text[:-4]="5", text[-2:]="89"
+    // → "5[Q1:Name|67]89"; Java substring would throw.
+    val a = WArticle(0, 0, "t", "0123456789", 5, 10,
+      Seq(GtLabel(0, 1, 3, "Q1", "Name", None, Nil, optionalFlag = false, Nil, None, desc = false)),
+      Nil, Nil, Nil)
+    val (txt, ents) = WriteArticles.labeledText(a, Map("Q1" -> "Name"), 5, "56789")
+    assert(txt == "5[Q1:Name|67]89")
+    assert(ents == Seq("Q1"))
+    // pySliceAt edge table vs CPython: s[a:b] on "abcde"
+    val s = "abcde"
+    assert(pySliceAt(s, -100, 2) == "ab")   // lo clamps to 0
+    assert(pySliceAt(s, 2, 100) == "cde")   // hi clamps to len
+    assert(pySliceAt(s, -2, -1) == "d")
+    assert(pySliceAt(s, 3, 2) == "")        // lo >= hi
+    assert(pySliceAt(s, -1, -3) == "")
+  }
+
   test("format is distributed and writeLocal round-trips per-article files") {
     val spark = SparkSessions.spark
     import spark.implicits._

@@ -173,4 +173,24 @@ object Streaming {
         })
       .toDF("id_a", "id_b", "est_jaccard")
   }
+
+  val counterRowSchema: StructType = StructType(Seq(
+    StructField("mode", StringType),
+    StructField("category", StringType),
+    StructField("tp", LongType),
+    StructField("fp", LongType),
+    StructField("fn", LongType)))
+
+  /** Streaming evaluation counters: the batch eval pipeline's per-case
+    * counter rows (mode, category, tp, fp, fn — the same relation the
+    * aux_*_counter_rows dumps carry) aggregated INCREMENTALLY as linked
+    * articles stream in. Running totals per (mode, category) in update
+    * mode — the streaming twin of the A9 counter aggregation, so a
+    * dashboard can watch P/R/F1 converge while a corpus-scale linking
+    * run is still in flight. State is one row per (mode, category):
+    * bounded by the category vocabulary, independent of corpus size. */
+  def streamingEvalCounts(counterRows: DataFrame): DataFrame =
+    counterRows
+      .groupBy(col("mode"), col("category"))
+      .agg(sum(col("tp")).as("tp"), sum(col("fp")).as("fp"), sum(col("fn")).as("fn"))
 }

@@ -160,4 +160,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(total == 1000L, s"window counts should cover all 1000 events, got $total")
     } finally q2.stop()
   }
+
+  test("streaming eval counters: incremental totals equal the batch aggregation") {
+    import spark.implicits._
+    val rowsDir = Files.createTempDirectory("eval_stream").toString
+    // micro-batch 1 + 2: per-case counter rows arriving in two waves
+    val wave1 = Seq(("IGNORED", "all", 2L, 1L, 0L), ("IGNORED", "ner", 1L, 0L, 1L))
+    val wave2 = Seq(("IGNORED", "all", 1L, 0L, 2L), ("REQUIRED", "all", 0L, 1L, 1L))
+    wave1.toDF("mode", "category", "tp", "fp", "fn").coalesce(1)
+      .write.mode("append").parquet(rowsDir)
+    val input = spark.readStream
+      .schema(Streaming.counterRowSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(rowsDir)
+    val q = Streaming.streamingEvalCounts(input)
+      .writeStream.format("memory").queryName("eval_counts_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      wave2.toDF("mode", "category", "tp", "fp", "fn").coalesce(1)
+        .write.mode("append").parquet(rowsDir)
+      q.processAllAvailable()
+      val got = spark.table("eval_counts_stream")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // batch oracle: the same rows through the same groupBy
+      val want = (wave1 ++ wave2).toDF("mode", "category", "tp", "fp", "fn")
+        .groupBy("mode", "category")
+        .agg(org.apache.spark.sql.functions.sum("tp").as("tp"),
+          org.apache.spark.sql.functions.sum("fp").as("fp"),
+          org.apache.spark.sql.functions.sum("fn").as("fn"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == want)
+      assert(got(("IGNORED", "all")) == ((3L, 1L, 2L)))
+    } finally q.stop()
+  }
 }

@@ -286,10 +286,14 @@ object Clustering {
           scala.util.Try(n.stripPrefix("round_").toInt).toOption
         else None
       }.sorted.reverse
+      // no maxIter filter here: a converged snapshot from a HIGHER-budget
+      // earlier run is still the exact answer — skipping it (post-pruning,
+      // with the lower rounds gone) would force a from-scratch recompute
+      // that may not even converge within the smaller budget
       var i = 0
       while (i < rounds.length && lastManifest.isEmpty) {
         val r = rounds(i)
-        if (r <= maxIter && fs.exists(manifestPath(r))) {
+        if (fs.exists(manifestPath(r))) {
           val m = readManifest(r)
           if (m.isDefined) { last = r; lastManifest = m }
         }
@@ -331,7 +335,13 @@ object Clustering {
         i += 1
       }
     }
-    CcRun(starsToClusters(e), resumedFrom, computed, converged)
+    // EAGER localCheckpoint: the returned cluster table must be
+    // self-contained — a later call on this dir prunes snapshot files
+    // (sibling namespaces, superseded rounds) that a lazy plan would
+    // still reference, turning an old handle into FileNotFoundException.
+    // The table is node-scale (one row per id), so materializing it at
+    // return is cheap at any corpus size.
+    CcRun(starsToClusters(e).localCheckpoint(true), resumedFrom, computed, converged)
   }
 
   /** Cluster assignment for every mention id in `ids` (singletons become

@@ -112,18 +112,14 @@ object WriteArticles {
     sb.toString
   }
 
-  /** CPython `s[a:b]`: negative indices count from the end, then both
-    * clamp — total, never throws. The annotation builders run over
-    * span-offset arithmetic (`begin - offset` in evaluation-span mode),
-    * and a label outside the evaluation span yields NEGATIVE indices: the
-    * reference's slicing then produces defined (if odd) output where Java
-    * substring would throw and kill the Spark task. */
-  def pySliceAt(s: String, a: Int, b: Int): String = {
-    val n = s.length
-    val lo = math.max(0, math.min(if (a < 0) a + n else a, n))
-    val hi = math.max(0, math.min(if (b < 0) b + n else b, n))
-    if (lo >= hi) "" else s.substring(lo, hi)
-  }
+  /** CPython `s[a:b]` — the one shared implementation lives in
+    * CorpusJobs.pySlice. The annotation builders run over span-offset
+    * arithmetic (`begin - offset` in evaluation-span mode), and a label
+    * outside the evaluation span yields NEGATIVE indices: the reference's
+    * slicing then produces defined (if odd) output where Java substring
+    * would throw and kill the Spark task. */
+  def pySliceAt(s: String, a: Int, b: Int): String =
+    graft.sources.CorpusJobs.pySlice(s, a, b)
 
   private def splice(text: String, begin: Int, end: Int, repl: String): String =
     pySliceAt(text, 0, begin) + repl + pySliceAt(text, end, text.length)

@@ -67,6 +67,14 @@ object ErQueries {
         .dropDuplicates("a", "b")
         .persist(StorageLevel.MEMORY_AND_DISK)
 
+    /** Block-size profile (one row) — Blocking.blockProfile itself is
+      * deliberately leak-free (localCheckpoint, ContextCleaner-reclaimed),
+      * which means repeated catalog calls would each re-run the
+      * corpus-scale keying chain; the session memo restores cross-call
+      * reuse at the layer that owns a release point (unpersistAll). */
+    lazy val blockProfile: DataFrame =
+      Blocking.blockProfile(mentions).persist(StorageLevel.MEMORY_AND_DISK)
+
     /** Transitive clustering over the match edges — ONE connected-components
       * run per session (G6). */
     lazy val clusters: DataFrame =
@@ -79,6 +87,7 @@ object ErQueries {
     /** Release every persisted stage (safe on never-materialized stages —
       * persist() is plan metadata until an action runs). */
     def unpersistAll(): Unit = {
+      try blockProfile.unpersist(false) catch { case _: Throwable => () }
       try clusters.unpersist(false) catch { case _: Throwable => () }
       try scoredPairs.unpersist(false) catch { case _: Throwable => () }
       try extracted.unpersist(false) catch { case _: Throwable => () }
@@ -110,13 +119,12 @@ object ErQueries {
     shared(spark, dir).mentions
 
   /** Extraction stage output (hyperlink/section/synonym counts per url) —
-    * the E1 operator surfaced as a query. */
+    * the E1 operator surfaced as a query, projected from the session's
+    * shared extraction pass (no second corpus-scale parse). */
   def erExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    pages(spark, dir).map { p =>
-      val ex = graft.text.Extract.processExtractorText(
-        new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
-      (p.url, ex.text.length.toLong, ex.hyperlinks.size.toLong,
+    extractedPages(spark, dir).map { case (url, ex) =>
+      (url, ex.text.length.toLong, ex.hyperlinks.size.toLong,
         ex.titleSynonyms.size.toLong, ex.sections.size.toLong)
     }.toDF("url", "text_len", "n_hyperlinks", "n_title_synonyms", "n_sections")
   }
@@ -164,7 +172,7 @@ object ErQueries {
   }
 
   def erBlockProfile(spark: SparkSession, dir: String): DataFrame =
-    Blocking.blockProfile(mentions(spark, dir))
+    shared(spark, dir).blockProfile
 
   def erScoredPairs(spark: SparkSession, dir: String): DataFrame =
     shared(spark, dir).scoredPairs

@@ -104,12 +104,16 @@ object CorpusJobs {
     * than 60 chars containing '°'). Returns None when the article carries
     * no section data (the reference raises there; rows are dropped and
     * counted by the caller if needed). */
-  /** Python-slice semantics: clamped, never throws, a>b → "". */
+  /** CPython `s[a:b]`, exactly: NEGATIVE indices count from the end, then
+    * both clamp to [0, len]; a >= b → "". Never throws. (An earlier
+    * version clamped negatives to 0 — CPython-divergent for callers that
+    * compute offsets; all executed-reference goldens exercise identical
+    * behavior on the two since their indices are non-negative.) */
   def pySlice(s: String, a: Int, b: Int): String = {
     val n = s.length
-    val lo = math.max(0, math.min(a, n))
-    val hi = math.max(lo, math.min(b, n))
-    s.substring(lo, hi)
+    val lo = math.max(0, math.min(if (a < 0) a + n else a, n))
+    val hi = math.max(0, math.min(if (b < 0) b + n else b, n))
+    if (lo >= hi) "" else s.substring(lo, hi)
   }
 
   def abstractSpan(text: String, sections: Seq[Section]): Option[(Int, Int)] = {

@@ -104,4 +104,14 @@ class CorpusJobsSpec extends AnyFunSuite {
     assert(CorpusJobs.wikipediaLookupKeys("A_B").contains(("A B", None)))
     assert(CorpusJobs.wikipediaLookupKeys("x/y%20z").contains(("y z", Some("Y z"))))
   }
+
+  test("pySlice matches executed CPython on 250 random out-of-range vectors") {
+    val g = ujsonLite.parse(Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/pyslice.json"), "UTF-8").mkString)
+    g.arr.foreach { c =>
+      val (str, a, b) = (c("s").str, c("a").num.toInt, c("b").num.toInt)
+      assert(CorpusJobs.pySlice(str, a, b) == c("out").str,
+        s"pySlice(${str}, $a, $b)")
+    }
+  }
 }

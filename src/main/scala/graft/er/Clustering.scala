@@ -301,6 +301,18 @@ object Clustering {
       }
     }
 
+    // Crash/corruption debris ABOVE the resume point (rounds with missing
+    // or unparsable manifests) is deleted now — BEFORE any new round is
+    // written: the scan will never use it, and a stale full edge-set copy
+    // must not survive every prune.
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("round_"))
+        scala.util.Try(n.stripPrefix("round_").toInt).toOption.foreach { r =>
+          if (r > last) { try fs.delete(st.getPath, true) catch { case _: Exception => () } }
+        }
+    }
+
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
     var converged = false
@@ -317,31 +329,35 @@ object Clustering {
 
     val nEdges = prevSig._1
     var computed = 0
-    withRightSizedShuffle(spark, nEdges) {
+    // the final node-scale aggregation + its eager materialization stay
+    // INSIDE the right-sized scope — at a session width tuned for the
+    // scoring stage they would otherwise run as near-empty micro-tasks
+    val clusters = withRightSizedShuffle(spark, nEdges) {
       while (!converged && iter < maxIter) {
         val (next, sig, conv) = commitRound(iter + 1, ccRound(e), Some(prevSig))
         e = next; prevSig = sig; converged = conv
         iter += 1; computed += 1
       }
-    }
-    // After convergence only the FINAL round is ever read again (a
-    // re-invocation resumes it instantly with zero rounds computed) —
-    // delete the superseded earlier rounds so the namespace holds one
-    // edge-set copy, not O(log n) of them.
-    if (converged) {
-      var i = 0
-      while (i < iter) {
-        try fs.delete(roundPath(i), true) catch { case _: Exception => () }
-        i += 1
+      // After convergence only the FINAL round is ever read again (a
+      // re-invocation resumes it instantly with zero rounds computed) —
+      // delete the superseded earlier rounds so the namespace holds one
+      // edge-set copy, not O(log n) of them.
+      if (converged) {
+        var i = 0
+        while (i < iter) {
+          try fs.delete(roundPath(i), true) catch { case _: Exception => () }
+          i += 1
+        }
       }
+      // EAGER localCheckpoint: the returned cluster table must be
+      // self-contained — a later call on this dir prunes snapshot files
+      // (sibling namespaces, superseded rounds) that a lazy plan would
+      // still reference, turning an old handle into FileNotFoundException.
+      // The table is node-scale (one row per id), so materializing it at
+      // return is cheap at any corpus size.
+      starsToClusters(e).localCheckpoint(true)
     }
-    // EAGER localCheckpoint: the returned cluster table must be
-    // self-contained — a later call on this dir prunes snapshot files
-    // (sibling namespaces, superseded rounds) that a lazy plan would
-    // still reference, turning an old handle into FileNotFoundException.
-    // The table is node-scale (one row per id), so materializing it at
-    // return is cheap at any corpus size.
-    CcRun(starsToClusters(e).localCheckpoint(true), resumedFrom, computed, converged)
+    CcRun(clusters, resumedFrom, computed, converged)
   }
 
   /** Cluster assignment for every mention id in `ids` (singletons become

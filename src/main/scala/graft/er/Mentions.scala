@@ -58,9 +58,22 @@ object Mentions {
   def fromPages(pages: Dataset[Page]): Dataset[Mention] = {
     import pages.sparkSession.implicits._
     pages.flatMap { page =>
-      val ex = Extract.processExtractorText(new String(page.html, StandardCharsets.UTF_8))
+      mentionsOf(page.url,
+        Extract.processExtractorText(new String(page.html, StandardCharsets.UTF_8)))
+    }
+  }
+
+  /** Same derivation over an ALREADY-extracted (url, Extracted) dataset —
+    * lets a session that has materialized the extraction pass (the
+    * catalog's shared memo) build mentions without re-parsing the HTML. */
+  def fromExtracted(extracted: Dataset[(String, graft.model.Extracted)]): Dataset[Mention] = {
+    import extracted.sparkSession.implicits._
+    extracted.flatMap { case (url, ex) => mentionsOf(url, ex) }
+  }
+
+  private def mentionsOf(url: String, ex: graft.model.Extracted): Seq[Mention] = {
       val text = ex.text
-      val domain = domainOf(page.url)
+      val domain = domainOf(url)
       // paragraph boundaries: [start, end) between "\n\n" separators
       val paraBounds = {
         val b = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
@@ -88,8 +101,8 @@ object Mentions {
           .map(_.toLowerCase).distinct
           .sorted(Mentions.CodePointOrdering)
         Mention(
-          url = page.url,
-          mention_id = mentionId(page.url, h.begin),
+          url = url,
+          mention_id = mentionId(url, h.begin),
           begin = h.begin,
           end = h.end,
           surface = surface,
@@ -98,6 +111,5 @@ object Mentions {
           domain = domain,
           gold_entity = h.target)
       }
-    }
   }
 }

@@ -322,7 +322,15 @@ object WriteArticles {
     * Dataset and write partitioned. */
   def writeLocal(files: Dataset[FileOut], outDir: String, oneFile: Boolean): Seq[String] = {
     Files.createDirectories(Paths.get(outDir))
-    val rows = files.collect().sortBy(_.file_name)
+    // sort by the NUMERIC seq embedded in every name ("article_<digits>"
+    // prefix, title suffix optional): plain lexicographic order breaks at
+    // seq 100000 (the %05d padding stops at 6 digits, so "article_100000"
+    // sorts before "article_99999") and the reference's oneFile output is
+    // its sequential iteration order
+    val rows = files.collect().sortBy { f =>
+      val digits = f.file_name.stripPrefix("article_").takeWhile(_.isDigit)
+      (if (digits.isEmpty) Long.MaxValue else digits.toLong, f.file_name)
+    }
     if (oneFile) {
       val p = Paths.get(outDir, "articles.txt")
       Files.write(p, rows.map(_.content).mkString.getBytes(StandardCharsets.UTF_8))

@@ -44,13 +44,10 @@ object ErQueries {
     * materializes the prefix it actually needs. */
   final class Shared private[ErQueries] (spark: SparkSession, dir: String) {
 
-    /** Mention extraction output (E1/F1 operators over the page HTML). */
-    lazy val mentions: Dataset[Mention] =
-      Mentions.fromPages(pages(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
-
-    /** Raw extraction output per url — shared by the four aux_extract_*
-      * dumps (each is a projection; without this Verify would run the
-      * corpus-scale extraction pass once per dump). */
+    /** Raw extraction output per url — the ONE extraction pass of the
+      * session: mentions, er_extract, and the four aux_extract_* dumps
+      * all derive from it (before this memo each surface re-parsed the
+      * page HTML independently). */
     lazy val extracted: Dataset[(String, graft.model.Extracted)] = {
       import spark.implicits._
       pages(spark, dir).map { p =>
@@ -58,6 +55,11 @@ object ErQueries {
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
       }.persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+    /** Mention extraction output (E1/F1 operators), derived from the
+      * shared extraction pass. */
+    lazy val mentions: Dataset[Mention] =
+      Mentions.fromExtracted(extracted).persist(StorageLevel.MEMORY_AND_DISK)
 
     /** Deduplicated scored candidate-pair universe — ONE fused
       * blocking+scoring shuffle per session (J1/J8/J9). Duplicate rows

@@ -89,13 +89,21 @@ object EvalParagraphs {
     val counts = withOrd
       .map { case (ord, a) => (ord, effectiveParagraphs(a.text)) }
       .collect().sortBy(_._1).map(_._2)
-    val planned = plan(counts.toIndexedSeq)
-      .map { case (orig, pos, ebp) => (orig.toLong, (pos, ebp)) }.toMap
-    val bPlan = spark.sparkContext.broadcast(planned)
+    // the plan travels as two PRIMITIVE Int arrays indexed by the dense
+    // ordinal — 8 bytes/article broadcast, versus ~100+/entry for a boxed
+    // Map[Long,(Int,Int)] (the docstring's 12-bytes-per-article scale
+    // split holds only with unboxed storage)
+    val posArr = new Array[Int](counts.length)
+    val ebpArr = new Array[Int](counts.length)
+    plan(counts.toIndexedSeq).foreach { case (orig, pos, ebp) =>
+      posArr(orig) = pos; ebpArr(orig) = ebp
+    }
+    val bPos = spark.sparkContext.broadcast(posArr)
+    val bEbp = spark.sparkContext.broadcast(ebpArr)
     withOrd.map { case (ord, a) =>
-      val (pos, ebp) = bPlan.value(ord)
-      val (b, e) = spanFor(pySplitParas(a.text), ebp)
-      (pos.toLong + 1L, a.id, a.title, a.url, b, e, a.text)
+      val i = ord.toInt
+      val (b, e) = spanFor(pySplitParas(a.text), bEbp.value(i))
+      (bPos.value(i).toLong + 1L, a.id, a.title, a.url, b, e, a.text)
     }.toDF("article_num", "id", "title", "url", "eval_begin", "eval_end", "text")
       .orderBy(col("article_num"))
   }

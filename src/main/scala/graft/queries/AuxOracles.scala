@@ -356,13 +356,15 @@ object AuxOracles {
     * first-max-wins scan), then recompute each centroid as the per-dim
     * mean folded IN SAMPLE ORDER (list(v ORDER BY pos) + list_reduce: the
     * engine accumulates sums in hash-sample order, and double addition is
-    * order-sensitive); empty cells keep their old centroid. */
+    * order-sensitive); empty cells keep their old centroid. Trains over
+    * `train` (the engine's capped hash-ordered sample), never the whole
+    * corpus. */
   private def lloydIter(prev: String, cur: String): String =
     s"""a_$cur AS (
        |  SELECT s.id, s.pos, s.v, ce.c,
        |         row_number() OVER (PARTITION BY s.id
        |           ORDER BY list_cosine_similarity(ce.v, s.v) DESC, ce.c ASC) AS rn
-       |  FROM samp s, $prev ce),
+       |  FROM train s, $prev ce),
        |mem_$cur AS (
        |  SELECT c, list(v ORDER BY pos) AS vs, count(*) AS cnt
        |  FROM a_$cur WHERE rn = 1 GROUP BY c),
@@ -376,13 +378,14 @@ object AuxOracles {
 
   /** Full IVF ANN replay (Ann.ivfTopK auto-sized, nProbe=4, k=5): the
     * deterministic hash-ordered training sample (splitmix64 as staged
-    * limb arithmetic, SIGNED-long sort order restored), auto nLists =
-    * round(sqrt(500)) = 22 centroids seeded from the first sample rows,
-    * THREE Lloyd iterations with order-exact double folds, map-side cell
-    * assignment, per-query nProbe probing, and exact cosine re-rank. At
-    * oracle scale (sf0.01, 500 x 64-dim vectors) the whole corpus is the
-    * training sample (trainSample=4096) — a corpus/dim change would
-    * diverge loudly as a row/hash mismatch, never silently. */
+    * limb arithmetic, SIGNED-long sort order restored), SCALE-ADAPTIVE
+    * like the engine — nLists = clamp(round(sqrt(n)), 4, 65536) and the
+    * training sample capped at max(4096, nLists) smallest-hash rows (at
+    * sf0.01 that is the whole corpus; at sf0.1+ the cap is live, which a
+    * corpus-pinned replay used to fail) — then THREE Lloyd iterations
+    * with order-exact double folds over the sample, whole-corpus cell
+    * assignment, per-query nProbe probing, and exact cosine re-rank.
+    * Only the 64-dim width stays pinned (the testdata embedding shape). */
   val annIvfTopkSql: String =
     s"""WITH h0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
        |            CAST(vec_id AS HUGEINT) AS x FROM embeddings),
@@ -395,7 +398,11 @@ object AuxOracles {
        |             CAST(CASE WHEN z >= 9223372036854775808
        |                       THEN z - 18446744073709551616 ELSE z END AS BIGINT) ASC, id ASC) AS pos
        |         FROM h4),
-       |cent0 AS (SELECT pos - 1 AS c, v FROM samp WHERE pos <= 22),
+       |nl AS (SELECT greatest(4, least(65536,
+       |         CAST(round(sqrt(count(*))) AS INTEGER))) AS lists FROM embeddings),
+       |train AS (SELECT s.* FROM samp s, nl
+       |          WHERE s.pos <= greatest(4096, nl.lists)),
+       |cent0 AS (SELECT s.pos - 1 AS c, s.v FROM train s, nl WHERE s.pos <= nl.lists),
        |${lloydIter("cent0", "cent1")},
        |${lloydIter("cent1", "cent2")},
        |${lloydIter("cent2", "cent3")},

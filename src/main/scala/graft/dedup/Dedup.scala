@@ -20,6 +20,13 @@ import graft.synth.Synth.splitmix64
   */
 object Dedup {
 
+  /** Default skew cap for every banded self-join in this module (and the
+    * value the bench/driver surface passes explicitly): bounds any bucket
+    * task at ~maxBucket²/2 candidate pairs. The web-scale-safe default for
+    * ALL pair tiers, including simhashPairs — exhaustive bucket scans are
+    * opt-in (`maxBucket = Int.MaxValue`), never the default. */
+  val DefaultMaxBucket: Int = 4096
+
   /** Registry of the internal persisted signature tables (one per *Pairs
     * call). The signature persist is an implementation detail of a single
     * pipeline execution — without release, a long session running many
@@ -75,6 +82,23 @@ object Dedup {
           .otherwise(concat(col("bucket"), lit("#"),
             pmod(xxhash64(col("id"), col("bucket")), col("nb")))))
       .drop("bsz", "nb")
+  }
+
+  /** A caller-materialized MinHash pair table TOGETHER WITH the exact
+    * parameters it was built from. [[survivors]] accepts only this shape
+    * for its pair-table bypass and refuses a table whose parameters differ
+    * from its own — a bare DataFrame bypass trusted the caller to keep the
+    * two call sites in sync, and a silent mismatch changes survivor
+    * clusters with no detection (round-4 advice). */
+  final case class NearPairTable(
+      pairs: DataFrame,
+      shingleK: Int,
+      nHashes: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+      maxBucket: Int) {
+    require(Seq("id_a", "id_b").forall(pairs.columns.contains),
+      s"near-pair table needs id_a/id_b columns, got: ${pairs.columns.mkString(", ")}")
   }
 
   // ---------- exact ----------------------------------------------------------
@@ -134,7 +158,7 @@ object Dedup {
       nHashes: Int = 64,
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = nHashes / rowsPerBand
@@ -194,16 +218,17 @@ object Dedup {
     * bucket exceeds `maxBucket`. Oversized buckets (identical-band floods,
     * overwhelmingly boilerplate/near-identical cliques) are sub-bucketed
     * for bounded task sizes, which can split a pair whose ONLY agreeing
-    * band is the flooded one. The DEFAULT therefore keeps the exhaustive
-    * guarantee (maxBucket = Int.MaxValue, no capping); pass a finite
-    * maxBucket to trade exact recall on flooded buckets for bounded task
-    * sizes at web scale (the bench/driver surface uses 4096). */
+    * band is the flooded one. The DEFAULT is the capped, web-scale-safe
+    * behavior ([[DefaultMaxBucket]], the same value the driver surface
+    * uses) — a new caller gets bounded task sizes out of the box;
+    * exhaustive recall on flooded buckets is OPT-IN via
+    * `maxBucket = Int.MaxValue`. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = maxHamming + 1
@@ -265,8 +290,20 @@ object Dedup {
       nHashes: Int = 64,
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
-      maxBucket: Int = 4096,
-      nearPairs: Option[DataFrame] = None): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      nearPairs: Option[NearPairTable] = None): DataFrame = {
+    nearPairs.foreach { np =>
+      require(
+        np.shingleK == shingleK && np.nHashes == nHashes &&
+          np.rowsPerBand == rowsPerBand && np.minJaccard == minJaccard &&
+          np.maxBucket == maxBucket,
+        "nearPairs parameter drift: the supplied pair table was built with " +
+          s"(shingleK=${np.shingleK}, nHashes=${np.nHashes}, rowsPerBand=${np.rowsPerBand}, " +
+          s"minJaccard=${np.minJaccard}, maxBucket=${np.maxBucket}) but survivors() runs with " +
+          s"(shingleK=$shingleK, nHashes=$nHashes, rowsPerBand=$rowsPerBand, " +
+          s"minJaccard=$minJaccard, maxBucket=$maxBucket) — a mismatched table would change " +
+          "survivor clusters silently")
+    }
     val spark = df.sparkSession
     val hashed = df.select(
       col(idCol).cast("long").as("id"),
@@ -278,11 +315,11 @@ object Dedup {
     val exactEdges = withG.where(col("id") =!= col("gmin"))
       .select(col("id").as("a"), col("gmin").as("b"))
     // `nearPairs`: a caller that has ALREADY materialized the minhash pair
-    // table (id_a, id_b) for the same (input, shingleK, nHashes,
-    // rowsPerBand, minJaccard, maxBucket) can pass it in to skip the
-    // second signature computation — the catalog surfaces one pair table
-    // to two queries this way.
-    val nearEdges = nearPairs
+    // table for the same (input, shingleK, nHashes, rowsPerBand,
+    // minJaccard, maxBucket) can pass it in to skip the second signature
+    // computation — the catalog surfaces one pair table to two queries
+    // this way. The parameter equality is ENFORCED above.
+    val nearEdges = nearPairs.map(_.pairs)
       .getOrElse(minhashPairs(df, idCol, textCol, shingleK, nHashes,
         rowsPerBand, minJaccard, maxBucket))
       .select(col("id_a").as("a"), col("id_b").as("b"))
@@ -320,7 +357,7 @@ object Dedup {
       nBits: Int = 16,
       bandBits: Int = 4,
       seed: Long = 42L,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),

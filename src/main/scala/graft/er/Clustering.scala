@@ -39,9 +39,23 @@ object Clustering {
       case None =>
         val e = localContract(normalizeEdges(edges)).localCheckpoint(true)
         withRightSizedShuffle(spark, e.count()) {
-          connectedComponentsLoop(e, maxIter)
+          val (clusters, converged) = connectedComponentsLoop(e, maxIter)
+          if (!converged) warnNotConverged("in-memory", maxIter)
+          clusters
         }
     }
+
+  /** Loud non-convergence warning (round-4 advice): a loop that exhausts
+    * maxIter — or a resumed checkpoint whose on-disk round already exceeds
+    * a smaller caller budget — returns UNDER-MERGED clusters; silence here
+    * was the same failure class TypesMappings.typeClosure already warns
+    * about. Callers that need hard failure read CcRun.converged. */
+  private def warnNotConverged(mode: String, maxIter: Int): Unit =
+    System.err.println(
+      s"[graft.er.Clustering] WARNING: $mode connected-components loop exited " +
+        s"WITHOUT converging (maxIter=$maxIter) — the returned clusters may be " +
+        "under-merged; raise maxIter (star-contraction rounds are " +
+        "log-diameter, so 50 covers any realistic graph)")
 
   /** Cast + drop self-loops. Deliberately NO distinct: the input-scale
     * dedup shuffle (one full pass over the edge volume) is redundant once
@@ -131,13 +145,22 @@ object Clustering {
       .distinct()
   }
 
-  /** Edge-set convergence signature: stable (count, xor-hash) — bit_xor,
-    * not sum: ANSI mode would overflow a sum of 64-bit hashes. */
-  private def edgeSig(e: DataFrame): (Long, Long) = {
+  /** Edge-set signature: order-independent (count, xor-hash, wrapping
+    * sum-hash). The xor alone cancels any edge with even multiplicity, so
+    * two duplicate-heavy MULTISETS with equal counts could collide (the
+    * resume-namespace key is computed over the non-deduplicated input —
+    * round-4 advice); the third component is the low 64 bits of the exact
+    * sum of hashes (computed as decimal(38,0) — a bare bigint sum would
+    * overflow under ANSI; the low-64 truncation IS the intended wrap),
+    * which is multiplicity-sensitive at every parity. */
+  private def edgeSig(e: DataFrame): (Long, Long, Long) = {
     val sigRow = e.agg(
       count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h")).head()
-    (sigRow.getLong(0), sigRow.getLong(1))
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h"),
+      expr("sum(cast(xxhash64(a, b) as decimal(38,0)))").as("s")).head()
+    val sDec = sigRow.getDecimal(2)
+    val s = if (sDec == null) 0L else sDec.toBigInteger.longValue()
+    (sigRow.getLong(0), sigRow.getLong(1), s)
   }
 
   /** In the converged star forest every edge is (member, center) with
@@ -151,12 +174,12 @@ object Clustering {
       .agg(min("cluster").as("cluster"))
   }
 
-  private def connectedComponentsLoop(edges0: DataFrame, maxIter: Int): DataFrame = {
+  private def connectedComponentsLoop(edges0: DataFrame, maxIter: Int): (DataFrame, Boolean) = {
     var e = edges0
 
     var converged = false
     var iter = 0
-    var prevSig: (Long, Long) = (-1L, -1L)
+    var prevSig: (Long, Long, Long) = (-1L, -1L, -1L)
     while (!converged && iter < maxIter) {
       val ss = ccRound(e)
         // LAZY checkpoint: the signature aggregation below is the action
@@ -172,7 +195,7 @@ object Clustering {
       iter += 1
     }
 
-    starsToClusters(e)
+    (starsToClusters(e), converged)
   }
 
   /** Result of a reliable-checkpoint CC run: the cluster table plus the
@@ -214,7 +237,8 @@ object Clustering {
     val norm = normalizeEdges(edges)
     val inputSig = edgeSig(norm)
     val rawRoot = new Path(new Path(dir),
-      s"cc_${inputSig._1}_${java.lang.Long.toUnsignedString(inputSig._2)}")
+      s"cc_${inputSig._1}_${java.lang.Long.toUnsignedString(inputSig._2)}" +
+        s"_${java.lang.Long.toUnsignedString(inputSig._3)}")
     val fs = rawRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // qualified form: listStatus returns scheme-qualified paths, and the
     // sibling prune below compares against this — an unqualified root
@@ -231,10 +255,10 @@ object Clustering {
     // itself is temp-file + rename: fs.create makes a path visible before
     // its bytes land, so a crash mid-write must never leave a truncated
     // manifest that wedges every future resume.
-    def writeManifest(i: Int, sig: (Long, Long), converged: Boolean): Unit = {
+    def writeManifest(i: Int, sig: (Long, Long, Long), converged: Boolean): Unit = {
       val tmp = new Path(roundPath(i), "_MANIFEST.tmp")
       val out = fs.create(tmp, true)
-      try out.write(s"$i ${sig._1} ${sig._2} $converged".getBytes("UTF-8"))
+      try out.write(s"$i ${sig._1} ${sig._2} ${sig._3} $converged".getBytes("UTF-8"))
       finally out.close()
       fs.delete(manifestPath(i), false)
       if (!fs.rename(tmp, manifestPath(i)))
@@ -243,14 +267,16 @@ object Clustering {
     // A manifest that exists but does not parse (pre-rename crash debris,
     // manual tampering) counts as an INCOMPLETE round: the scan stops
     // before it and the round is recomputed.
-    def readManifest(i: Int): Option[(Long, Long, Boolean)] =
+    def readManifest(i: Int): Option[(Long, Long, Long, Boolean)] =
       try {
         val in = fs.open(manifestPath(i))
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         val parts = txt.trim.split(' ')
-        Some((parts(1).toLong, parts(2).toLong, parts(3).toBoolean))
+        // a pre-round-5 two-component manifest fails this parse (boolean in
+        // the sum slot) and correctly counts as an incomplete round
+        Some((parts(1).toLong, parts(2).toLong, parts(3).toLong, parts(4).toBoolean))
       } catch { case _: Exception => None }
-    def commitRound(i: Int, e: DataFrame, prevSig: Option[(Long, Long)]): (DataFrame, (Long, Long), Boolean) = {
+    def commitRound(i: Int, e: DataFrame, prevSig: Option[(Long, Long, Long)]): (DataFrame, (Long, Long, Long), Boolean) = {
       e.write.mode("overwrite").parquet(roundPath(i).toString)
       val reread = spark.read.parquet(roundPath(i).toString)
       val sig = edgeSig(reread)
@@ -278,7 +304,7 @@ object Clustering {
     // manifest — found by listing, not by contiguous probing, because
     // post-convergence pruning deletes the superseded earlier rounds
     var last = -1
-    var lastManifest: Option[(Long, Long, Boolean)] = None
+    var lastManifest: Option[(Long, Long, Long, Boolean)] = None
     if (fs.exists(root)) {
       val rounds = fs.listStatus(root).flatMap { st =>
         val n = st.getPath.getName
@@ -314,16 +340,16 @@ object Clustering {
     }
 
     var iter = 0
-    var prevSig: (Long, Long) = (-1L, -1L)
+    var prevSig: (Long, Long, Long) = (-1L, -1L, -1L)
     var converged = false
     var e: DataFrame = null
     if (last < 0) {
       val (e0, sig0, _) = commitRound(0, localContract(norm), None)
       e = e0; prevSig = sig0
     } else {
-      val (n, h, c) = lastManifest.get
+      val (n, h, sm, c) = lastManifest.get
       e = spark.read.parquet(roundPath(last).toString)
-      prevSig = (n, h); converged = c; iter = last
+      prevSig = (n, h, sm); converged = c; iter = last
     }
     val resumedFrom = math.max(last, 0)
 

@@ -69,8 +69,6 @@ object Scoring {
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 
-  val jwUdf = udf((a: String, b: String) => jaroWinkler(a, b))
-
   /** Fused blocking+scoring plan — the scale path. Input is
     * Blocking.keyedWithAttrs output; the self-join on the (sub-bucketed)
     * block key is the ONLY shuffle of pair-scale data, and the scored pairs

@@ -85,10 +85,31 @@ object KbBuild {
     * is zero, empty aliases skipped). The spaCy vocab/vector serialization
     * around it is model-bound (declared out of scope); this table is the
     * per-alias information the KB stores. One windowed pass over the
-    * link-frequency dimension — no extra shuffle beyond the alias key. */
-  def aliasCandidateProbs(linkFreq: DataFrame): DataFrame = {
+    * link-frequency dimension — no extra shuffle beyond the alias key.
+    *
+    * DECLARED DIVERGENCE (default mode): the reference first filters
+    * candidates to `kb.contains_entity` — entities that got a word vector
+    * (knowledge_base_creator.py:38-43) — BEFORE summing, so its
+    * probabilities are normalized over the vector-backed candidate subset;
+    * with vectors out of scope, the default here normalizes over the
+    * UNFILTERED candidate set, and the two diverge whenever an alias has a
+    * candidate without a vector. Pass `entityFilter` (a one-column
+    * DataFrame of entity ids, the relational stand-in for contains_entity)
+    * to reproduce the reference's filtered normalization exactly. */
+  def aliasCandidateProbs(
+      linkFreq: DataFrame,
+      entityFilter: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col("link_text"))
-    linkFreq
+    val candidates = entityFilter match {
+      case Some(ents) =>
+        // left-semi on the entity universe — the same candidate pruning
+        // contains_entity does, as a join instead of a per-row dict probe
+        linkFreq.join(
+          ents.select(col(ents.columns(0)).as("entity_id")),
+          Seq("entity_id"), "left_semi")
+      case None => linkFreq
+    }
+    candidates
       .where(length(col("link_text")) > 0)
       .withColumn("total", sum(col("freq")).over(w))
       .withColumn("n_cands", count(lit(1)).over(w))

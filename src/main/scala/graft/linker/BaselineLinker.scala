@@ -25,13 +25,11 @@ object BaselineLinker {
 
   /** mentions ⋈ mostPopularCandidates on normalized surface; prediction =
     * min of the tied top candidates; is_date mentions dropped
-    * (baseline_linker.py:74). */
+    * (baseline_linker.py:74) — via codegen'd `rlike` on the anchored
+    * Extract.DateRe port, not a row-at-a-time UDF. */
   def linkMostPopular(mentions: Dataset[Mention], mostPopular: DataFrame): DataFrame = {
-    val spark = mentions.sparkSession
-    import spark.implicits._
-    val isDate = udf((s: String) => graft.text.Extract.isDate(s))
     mentions.toDF()
-      .where(!isDate(col("surface")))
+      .where(!col("surface").rlike(graft.text.Extract.DateReAnchored))
       .join(mostPopular, col("norm_surface") === col("link_text"), "inner")
       .select(
         col("url"), col("mention_id"), col("begin"), col("end"), col("surface"),

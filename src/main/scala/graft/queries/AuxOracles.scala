@@ -598,7 +598,10 @@ object AuxOracles {
       |       CAST(coalesce(syn.n, 0) AS BIGINT) AS n_title_synonyms,
       |       CAST(coalesce(sec.n, 0) AS BIGINT) AS n_sections
       |FROM docs d LEFT JOIN hl ON d.url = hl.url
-      |LEFT JOIN syn ON d.url = syn.url LEFT JOIN sec ON d.url = sec.url""".stripMargin
+      |LEFT JOIN syn ON d.url = syn.url LEFT JOIN sec ON d.url = sec.url
+      |WHERE CASE WHEN (SELECT count(*) FROM docs WHERE strlen(text) <> length(text)) > 0
+      |           THEN error('aux_extract_text contains non-ASCII: this oracle equates DuckDB codepoint length() with Java UTF-16 length — replay offsets in UTF-16 units (as the mention_id fold does for urls) before trusting it')
+      |           ELSE TRUE END""".stripMargin
 
   /** er_mentions re-derivation from the extraction dumps: surface =
     * substring of the page text at the hyperlink span (ASCII corpus, so
@@ -632,7 +635,11 @@ object AuxOracles {
        |       "begin", "end", surface,
        |       trim(regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g')) AS norm_surface,
        |       gold_entity
-       |FROM ids""".stripMargin
+       |FROM ids
+       |WHERE CASE WHEN (SELECT count(*) FROM '{OUT}/aux_extract_text/*.parquet'
+       |                 WHERE strlen(text) <> length(text)) > 0
+       |           THEN error('aux_extract_text contains non-ASCII: substr() offsets here are codepoint-based and would silently diverge from the Java UTF-16 spans — expand to UTF-16 units as the mention_id fold does for urls')
+       |           ELSE TRUE END""".stripMargin
 
   /** Exact brute-force ANN replay: cross join + window in DuckDB, ranked
     * by list_cosine_similarity under the same (cosine DESC, nbr ASC) total

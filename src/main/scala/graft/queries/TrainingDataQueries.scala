@@ -34,6 +34,15 @@ object TrainingDataQueries {
   private val minhashMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // Single source of truth for the memoized MinHash pair-table parameters:
+  // dd_minhash_pairs and dd_survivors consume the same table, and
+  // Dedup.survivors REFUSES a pair table whose parameters drift from its
+  // own (round-4 advice) — so both call sites read these constants.
+  private val MhShingleK = 5
+  private val MhNHashes = 64
+  private val MhRowsPerBand = 8
+  private val MhMinJaccard = 0.35
+
   private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame = {
     val app = spark.sparkContext.applicationId
     val it = minhashMemo.entrySet().iterator()
@@ -46,7 +55,8 @@ object TrainingDataQueries {
     }
     minhashMemo.computeIfAbsent(app + "|" + dir, _ =>
       Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
-        shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35)
+        shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
+        minJaccard = MhMinJaccard)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -57,19 +67,21 @@ object TrainingDataQueries {
     minhashPairsShared(spark, dir)
 
   def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    // explicit finite cap: this surface is the web-scale path, so bounded
-    // task sizes are chosen over the exhaustive pigeonhole guarantee
-    // (the library default keeps exactness — Dedup.simhashPairs doc)
+    // explicit cap (== the library default, Dedup.DefaultMaxBucket):
+    // bounded task sizes are chosen over the exhaustive pigeonhole
+    // guarantee; exhaustive bucket scans are opt-in via Int.MaxValue
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 8,
-      maxBucket = 4096)
+      maxBucket = Dedup.DefaultMaxBucket)
 
   /** Keep/drop decision table: exact + minhash tiers, transitive closure,
     * min-id survivor (the deliverable a training pipeline consumes).
     * Reuses the session's memoized minhash pair table. */
   def ddSurvivors(spark: SparkSession, dir: String): DataFrame =
     Dedup.survivors(docs(spark, dir), "doc_id", "text",
-      shingleK = 5, nHashes = 64, rowsPerBand = 8, minJaccard = 0.35,
-      nearPairs = Some(minhashPairsShared(spark, dir)))
+      shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
+      minJaccard = MhMinJaccard,
+      nearPairs = Some(Dedup.NearPairTable(minhashPairsShared(spark, dir),
+        MhShingleK, MhNHashes, MhRowsPerBand, MhMinJaccard, Dedup.DefaultMaxBucket)))
 
   def ddEmbeddingDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(embs(spark, dir), "vec_id", "embedding",

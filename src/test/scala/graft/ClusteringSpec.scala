@@ -108,6 +108,35 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got3 == ufComponents(edges2))
   }
 
+  test("resume namespace separates duplicate-heavy multisets that xor-cancel (round-4 advice)") {
+    import spark.implicits._
+    // both inputs: 4 edges, every edge with multiplicity 2 -> the xor
+    // component cancels to 0 and (count, xor) collide; the wrapping
+    // sum-hash component must still separate them, or graph B would
+    // wrongly resume graph A's converged rounds
+    val dir = java.nio.file.Files.createTempDirectory("cc_ns").toString
+    val a = Seq((1L, 2L), (1L, 2L), (3L, 4L), (3L, 4L)).toDF("a", "b")
+    val b = Seq((5L, 6L), (5L, 6L), (7L, 8L), (7L, 8L)).toDF("a", "b")
+    val ra = Clustering.connectedComponentsCheckpointed(spark, a, dir, maxIter = 50)
+    assert(ra.converged)
+    val rb = Clustering.connectedComponentsCheckpointed(spark, b, dir, maxIter = 50)
+    assert(rb.resumedFromRound == 0, "graph B resumed graph A's namespace")
+    val got = rb.clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("maxIter exhaustion logs a loud non-convergence warning instead of silent under-merge") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try Clustering.connectedComponents(spark, edges, maxIter = 1).collect()
+    finally System.setErr(old)
+    assert(new String(buf.toByteArray, "UTF-8").contains("WITHOUT converging"),
+      "expected a non-convergence warning on stderr")
+  }
+
   test("CC is deterministic under different input partitioning") {
     import spark.implicits._
     val edges = (0L until 200L).map(i => (i, (i + 7) % 200)) ++ Seq((500L, 600L))

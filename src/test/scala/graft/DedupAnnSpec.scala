@@ -122,6 +122,46 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(maxDeg < 400, s"cap had no effect (degree $maxDeg)")
   }
 
+  test("simhashPairs DEFAULT maxBucket is the capped web-scale value; exhaustive is opt-in") {
+    // the driver surface and the library default must agree (round-4 advice:
+    // a new caller used to get the exhaustive Int.MaxValue behavior)
+    assert(Dedup.DefaultMaxBucket == 4096)
+    val d = docs(60)
+    val byDefault = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byExplicitCap = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 6,
+      maxBucket = Dedup.DefaultMaxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byDefault == byExplicitCap)
+    Dedup.releaseSignatures()
+  }
+
+  test("survivors refuses a near-pair table whose build parameters drifted") {
+    val d = docs(40)
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text", shingleK = 5, nHashes = 64,
+      rowsPerBand = 8, minJaccard = 0.5)
+    // parameter drift fails loudly instead of silently changing clusters
+    val drifted = Dedup.NearPairTable(pairs, shingleK = 4, nHashes = 64,
+      rowsPerBand = 8, minJaccard = 0.5, maxBucket = Dedup.DefaultMaxBucket)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.survivors(d, "doc_id", "text", nearPairs = Some(drifted))
+    }
+    assert(ex.getMessage.contains("parameter drift"))
+    // a wrong-shaped pair table fails at construction
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.NearPairTable(d.select(col("doc_id")), 5, 64, 8, 0.5, Dedup.DefaultMaxBucket)
+    }
+    assert(ex2.getMessage.contains("id_a"))
+    // the matching config passes and reproduces the self-computed path
+    val ok = Dedup.NearPairTable(pairs, 5, 64, 8, 0.5, Dedup.DefaultMaxBucket)
+    val viaBypass = Dedup.survivors(d, "doc_id", "text", nearPairs = Some(ok))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val direct = Dedup.survivors(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaBypass == direct)
+    Dedup.releaseSignatures()
+  }
+
   test("survivors: planted dup families collapse to one keeper, tiers labeled, partitioning-invariant") {
     val d = docs(80)
     val dec = Dedup.survivors(d, "doc_id", "text",

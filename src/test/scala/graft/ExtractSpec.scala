@@ -79,4 +79,19 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.normalizeSurface("GLOBAL Syndicate") == "global syndicate")
     assert(Extract.normalizeSurface("--") == "")
   }
+
+  test("DateReAnchored (rlike form) has exact matches() whole-string semantics") {
+    import graft.text.Extract
+    val fixtures = Seq(
+      "January", "12 March 1994", "March 1994", "5 May", "December 7",
+      "the press", "xJanuary", "January x", "12 March extra", "",
+      // the ^$-anchor trap: Java's $ matches before a trailing newline,
+      // matches() does not — \A..\z must agree with matches()
+      "January\n", "12 March 1994\n")
+    val p = java.util.regex.Pattern.compile(Extract.DateReAnchored)
+    fixtures.foreach { s =>
+      assert(p.matcher(s).find() == Extract.isDate(s),
+        s"rlike form diverges from isDate on ${s.replace("\n", "\\n")}")
+    }
+  }
 }

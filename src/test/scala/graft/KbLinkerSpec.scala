@@ -41,6 +41,24 @@ class KbLinkerSpec extends AnyFunSuite {
     assert(sums.count() == 0)
   }
 
+  test("alias candidate probabilities: entityFilter reproduces the reference's filtered normalization") {
+    import spark.implicits._
+    // knowledge_base_creator.py:38-51 filters candidates to
+    // kb.contains_entity BEFORE summing; with a filter excluding E2, the
+    // acme alias renormalizes over {E1} alone and solo vanishes entirely
+    val lf = Seq(
+      ("acme", "E1", 3L), ("acme", "E2", 1L),
+      ("solo", "E9", 5L)
+    ).toDF("link_text", "entity_id", "freq")
+    val probs = KbBuild.aliasCandidateProbs(lf, Some(Seq("E1").toDF("entity_id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(probs == Map(("acme", "E1") -> 1.0))
+    // default (no filter) keeps the documented unfiltered normalization
+    val unfiltered = KbBuild.aliasCandidateProbs(lf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(unfiltered(("acme", "E1")) == 0.75)
+  }
+
   test("A2 most popular candidates: rank-1 ties kept as sorted set") {
     val lf = KbBuild.linkFrequencies(pages)
     val mp = KbBuild.mostPopularCandidates(lf).cache()

@@ -11,9 +11,13 @@ import graft.queries.{AuxOracles, ErQueries, EvalQueries, Queries, Queries2, Que
   * query except three has a DuckDB oracle in `oracleSql` with matching
   * column names/aliases (engine-generated inputs are dumped via
   * `auxDumps` and re-derived by the oracle SQL through the `{OUT}`
-  * anchor). Only eval_cases stays rows-only — case logic with no SQL
-  * form, golden-tested in ScalaTest (er_extract / er_mentions are gated
-  * via the span-granularity aux_extract_* dumps since round 4).
+  * anchor). Since round 5 EVERY query is oracle-gated: er_extract /
+  * er_mentions via the span-granularity aux_extract_* dumps (round 4),
+  * and eval_cases via a hybrid derivation — the recursion-bound pieces
+  * (word-boundary expansion; factor, which collapses to 1 on the flat
+  * synthetic label forest) ride golden-tested aux dumps while the span
+  * join, decision tables, mention typing, and error labeling are
+  * re-derived in DuckDB from independently-gated upstream dumps.
   */
 object SparkEntry {
 
@@ -76,8 +80,8 @@ object SparkEntry {
     "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
     "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
     "mm_frame_sample" -> (TrainingDataQueries.mmFrameSample(_, _)),
-    // KB-build jobs + ELEVANT-semantics evaluation (oracle-gated except
-    // eval_cases, whose case logic has no SQL form)
+    // KB-build jobs + ELEVANT-semantics evaluation (all oracle-gated;
+    // eval_cases via the hybrid factor/word-boundary-pinned derivation)
     "kb_link_freq" -> (EvalQueries.kbLinkFreq(_, _)),
     "kb_top_candidates" -> (EvalQueries.kbTopCandidates(_, _)),
     "kb_alias_probs" -> (EvalQueries.kbAliasProbs(_, _)),
@@ -105,6 +109,7 @@ object SparkEntry {
     "aux_block_keys" -> ((s, d) =>
       graft.er.Blocking.keyed(ErQueries.mentions(s, d), graft.er.Blocking.Config())),
     "aux_oracle_counter_rows" -> (EvalQueries.auxOracleCounterRows(_, _)),
+    "aux_label_spans" -> (EvalQueries.auxLabelSpans(_, _)),
     "aux_baseline_counter_rows" -> (EvalQueries.auxBaselineCounterRows(_, _)),
     // sub-bucketed blocking relation with scoring attributes: lets DuckDB
     // replay the pair self-join + dedup + jaccard/score/is_match/lev of
@@ -165,6 +170,7 @@ object SparkEntry {
     "kb_alias_probs" -> AuxOracles.kbAliasProbsSql,
     "eval_oracle_counts" -> AuxOracles.evalOracleCountsSql,
     "eval_baseline_counts" -> AuxOracles.evalBaselineCountsSql,
+    "eval_cases" -> AuxOracles.evalCasesSql,
     "er_block_profile" -> AuxOracles.erBlockProfileSql,
     "er_extract" -> AuxOracles.erExtractSql,
     "er_mentions" -> AuxOracles.erMentionsSql,

@@ -83,6 +83,42 @@ object DictionaryNer {
     }
   }
 
+  /** "the X" strip post-processing (reference:
+    * /root/reference/src/elevant/ner/ner_postprocessing.py:17-29). A span
+    * whose text starts with lowercase "the " is ALWAYS stripped to its
+    * tail — the reference's `or` binds the dictionary guard to the "The "
+    * branch only; a span starting with "The " is stripped only when the
+    * full text is NOT a known entity name but the 4-char tail IS
+    * (`text[4:]`, spaces included, exactly as the reference looks it up).
+    * The new span starts at the SECOND token (spaCy `Span(start+1)`):
+    * begin advances past "the"/"The" and any whitespace, end and url are
+    * unchanged. The reference attaches this to the spaCy pipeline; the
+    * rule itself is a pure dictionary lookup, so here it is a narrow map
+    * over the span Dataset with the known-name set broadcast (same
+    * replicated-dictionary pattern as [[tag]]). */
+  def stripLeadingThe(s: NerSpan, knownNames: Set[String]): NerSpan = {
+    val t = s.surface
+    val strip = t.startsWith("the ") ||
+      (t.startsWith("The ") && !knownNames.contains(t) &&
+        knownNames.contains(t.substring(4)))
+    if (!strip) s
+    else {
+      var off = 3 // past "the"; then past the whitespace to the next token
+      while (off < t.length && t.charAt(off).isWhitespace) off += 1
+      val ns = t.substring(off)
+      NerSpan(s.url, s.begin + off, s.end, ns, Extract.normalizeSurface(ns))
+    }
+  }
+
+  /** Distributed form of [[stripLeadingThe]]: broadcast known-name set,
+    * narrow map — composes after [[tag]] / before [[resolveOverlaps]]. */
+  def withTheStripped(spans: Dataset[NerSpan], knownNames: Set[String]): Dataset[NerSpan] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val namesB = spark.sparkContext.broadcast(knownNames)
+    spans.map(stripLeadingThe(_, namesB.value))
+  }
+
   /** T4 — overlap resolution with total order: token count desc, link
     * frequency desc, begin asc. Per-url sweep (documents are small). */
   def resolveOverlaps(spans: Dataset[NerSpan], linkFreq: Map[String, Long]): Dataset[NerSpan] = {

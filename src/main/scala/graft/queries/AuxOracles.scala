@@ -641,6 +641,9 @@ object AuxOracles {
        |           THEN error('aux_extract_text contains non-ASCII: substr() offsets here are codepoint-based and would silently diverge from the Java UTF-16 spans — expand to UTF-16 units as the mention_id fold does for urls')
        |           ELSE TRUE END""".stripMargin
 
+  /** eval_cases hybrid oracle — placeholder, replaced below. */
+  val evalCasesSql: String = EvalCasesOracle.sql
+
   /** Exact brute-force ANN replay: cross join + window in DuckDB, ranked
     * by list_cosine_similarity under the same (cosine DESC, nbr ASC) total
     * order the engine uses. */

@@ -78,12 +78,17 @@ object ErQueries {
       Blocking.blockProfile(mentions).persist(StorageLevel.MEMORY_AND_DISK)
 
     /** Transitive clustering over the match edges — ONE connected-components
-      * run per session (G6). */
+      * run per session (G6). The `spark.graft.cc.checkpointDir` session
+      * conf (unset/empty = default in-memory localCheckpoint rounds)
+      * switches the CC loop to RELIABLE, resumable Parquet rounds under
+      * the given directory — the cluster-deployment mode, reachable from
+      * the catalog surface without code changes. */
     lazy val clusters: DataFrame =
       Clustering.assign(
         spark,
         mentions.select(col("mention_id").as("id")),
-        scoredPairs.where(col("is_match")).select(col("a"), col("b")))
+        scoredPairs.where(col("is_match")).select(col("a"), col("b")),
+        checkpointDir = ccCheckpointDir(spark))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
     /** Release every persisted stage (safe on never-materialized stages —
@@ -114,8 +119,18 @@ object ErQueries {
         it.remove()
       }
     }
-    cache.computeIfAbsent(app + "|" + dir, _ => new Shared(spark, dir))
+    // the CC mode participates in the memo key: flipping the conf flag
+    // mid-session must yield a Shared whose cluster stage honors it, not a
+    // stale memo computed under the other mode
+    cache.computeIfAbsent(
+      app + "|" + dir + "|" + ccCheckpointDir(spark).getOrElse(""),
+      _ => new Shared(spark, dir))
   }
+
+  /** Reliable-CC mode flag: Some(dir) when `spark.graft.cc.checkpointDir`
+    * is set non-empty in the session conf. */
+  private[graft] def ccCheckpointDir(spark: SparkSession): Option[String] =
+    Option(spark.conf.get("spark.graft.cc.checkpointDir", "")).filter(_.nonEmpty)
 
   def mentions(spark: SparkSession, dir: String): Dataset[Mention] =
     shared(spark, dir).mentions

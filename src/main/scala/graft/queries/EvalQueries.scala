@@ -147,9 +147,34 @@ object EvalQueries {
   def auxBaselineCounterRows(spark: SparkSession, dir: String): DataFrame =
     Evaluation.counterRowsDf(shared(spark, dir).baselineCases, EntityMeta.empty)
 
-  /** Flattened evaluation-case table (the reference's eval_cases.jsonl). */
+  /** Aux dump: word-boundary-expanded span per mention — the pure
+    * text+span function (Extract.wordBoundary, doctest-golden against the
+    * reference) whose recursion-free output pins the non-SQL half of the
+    * eval_cases span join: the oracle replays the reference's
+    * allPredictions dict (raw keys overridden by expanded keys,
+    * case_generator.py:93-101) from this table in SQL. */
+  def auxLabelSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = ErQueries.pages(spark, dir)
+    val mentions = ErQueries.mentions(spark, dir)
+    mentions.joinWith(pages, mentions("url") === pages("url"))
+      .map { case (m, p) =>
+        val (eb, ee) = graft.text.Extract.wordBoundary(m.begin, m.end, p.text)
+        (m.url, m.begin, m.end, eb, ee)
+      }.toDF("url", "begin", "end", "exp_begin", "exp_end")
+  }
+
+  /** Flattened evaluation-case table (the reference's eval_cases.jsonl),
+    * for the BASELINE linker's predictions — the reference's canonical
+    * whole-system evaluation run. Baseline (not oracle-linker) cases since
+    * round 5: the oracle linker's cases are constant-TP by construction,
+    * while the baseline exercises the reachable decision-table branches
+    * (TP / FN+FP / FN), the error-category labeler, and the candidate
+    * logic — which the hybrid DuckDB oracle (AuxOracles.evalCasesSql)
+    * re-derives from independently-gated upstream dumps (er_mentions,
+    * kb_top_candidates, aux_label_spans). */
   def evalCases(spark: SparkSession, dir: String): DataFrame = {
-    shared(spark, dir).oracleCases
+    shared(spark, dir).baselineCases
       .select(
         col("url"), col("begin"), col("end"), col("text"),
         col("factor"), col("mentionType"),

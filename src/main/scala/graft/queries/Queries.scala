@@ -252,29 +252,82 @@ object Queries {
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM orders GROUP BY CAST(o_orderdate AS DATE)""".stripMargin
 
-  // Q15 — within-bucket exact token-Jaccard near-duplicate pairs
-  // (training-data dedup, n-gram/token tier; the blocked self-join is the
-  // same shape as ER pair scoring, SURVEY J8).
+  // Q15 — within-block exact token-Jaccard near-duplicate pairs
+  // (training-data dedup, n-gram/token tier), J >= 0.5 on distinct tokens.
   //
-  // ORACLE-ONLY: blocks on (lang, source) — ~100 distinct keys — so block
-  // size grows linearly with the corpus and the pair count quadratically.
-  // This query exists to pin exact-Jaccard semantics against DuckDB at
-  // bench scale; the production tier for real corpora is
-  // Dedup.minhashPairs (banded LSH, bounded buckets). Never point this at
-  // the full corpus.
-  def q15JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("lang", "source"))
-      .where(col("doc_a") < col("doc_b"))
+  // EXACT PREFIX-FILTER PLAN (AllPairs/PPJoin family — Bayardo et al.,
+  // WWW'07; replaces the round-4 all-pairs self-join, the one quadratic
+  // plan left in the repo): order every doc's tokens by global
+  // (frequency, token) — ANY total order is lossless, rare-first
+  // minimizes candidates — and explode only the first
+  // n - ceil(0.5*n) + 1 tokens (the PREFIX). Two docs with J >= 0.5
+  // share >= ceil(0.5 * max(|a|,|b|)) tokens, so if either doc had no
+  // shared token in its prefix, its >= n - ceil(0.5*n) + 1 unshared
+  // prefix tokens would leave fewer than ceil(0.5*n) shared ones —
+  // contradiction; hence the candidate join on (block, prefix token)
+  // loses nothing. Verification then computes exact Jaccard on the
+  // candidate pairs only. Result-identical to the naive self-join, but
+  // candidate volume tracks near-pair volume, not pair volume: every
+  // stage shuffles linear data (token explode, pair-id dedup, two id
+  // joins), so the plan survives blocks that grow with the corpus.
+
+  /** Per-doc globally-sorted distinct-token table:
+    * (doc_id, lang, source, n, stoks) with stoks rare-first. */
+  private[graft] def q15SortedToks(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val tokFreq = d.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    d.select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+      .join(tokFreq, Seq("tok"))
+      .groupBy("doc_id", "lang", "source", "n")
+      .agg(expr("transform(array_sort(collect_list(struct(tf, tok))), s -> s.tok)")
+        .as("stoks"))
+  }
+
+  /** Candidate pair ids from the prefix-token join, with the J>=0.5
+    * length-ratio filter (max(|a|,|b|) <= 2*min(|a|,|b|) — a necessary
+    * condition) applied before the dedup shuffle. Exposed for the
+    * scale-shape spec (candidate count << pair count on skewed
+    * fixtures). */
+  private[graft] def q15Candidates(sorted: DataFrame): DataFrame = {
+    val pref = sorted
+      .withColumn("prefix",
+        slice(col("stoks"), lit(1),
+          (col("n") - ceil(col("n") * lit(0.5)) + lit(1)).cast("int")))
+      .select(col("lang"), col("source"), col("doc_id"), col("n"),
+        explode(col("prefix")).as("tok"))
+    val a = pref.select(col("lang"), col("source"), col("tok"),
+      col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = pref.select(col("lang"), col("source"), col("tok"),
+      col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("lang", "source", "tok"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_b") <= col("n_a") * 2 && col("n_a") <= col("n_b") * 2)
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  private[graft] def q15Pairs(docs: DataFrame): DataFrame = {
+    // localCheckpoint: the sorted-token table feeds THREE consumers
+    // (candidate generation + both verification fetch joins) and Spark
+    // does not reuse the exchange across them; blocks are reclaimed by
+    // the ContextCleaner once the result goes out of scope (the
+    // EvalParagraphs pattern).
+    val sorted = q15SortedToks(docs).localCheckpoint(true)
+    val toksA = sorted.select(col("doc_id").as("doc_a"), col("stoks").as("toks_a"))
+    val toksB = sorted.select(col("doc_id").as("doc_b"), col("stoks").as("toks_b"))
+    q15Candidates(sorted)
+      .join(toksA, Seq("doc_a"))
+      .join(toksB, Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
       .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))).cast("bigint"))
       .where(col("inter") * 2 >= col("uni")) // jaccard >= 0.5 without float math
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
+
+  def q15JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    q15Pairs(t(spark, dir, "documents"))
 
   val q15Sql: String =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -70,6 +70,26 @@ object EvalParagraphs {
     (start, end)
   }
 
+  /** PARITY-MODE driver-memory ceiling for [[withEvalSpans]]. The
+    * reference's seed-31072020 MT19937 shuffle is inherently sequential
+    * over the global article order, so byte-exactness forces ONE
+    * (ord, paragraph-count) pair per article onto the driver — two
+    * primitive Int arrays, 8 bytes/article. 2^30 articles ≈ 8.6 GB of
+    * driver arrays: the documented upper bound of the parity mode. This
+    * job reproduces a benchmark-construction script (fixed-size
+    * evaluation sets), NOT a corpus-scale pipeline stage — the 100 TB
+    * paths (extraction, blocking, scoring, CC, dedup) never route
+    * through it; the guard below makes an accidental corpus-scale call
+    * fail loudly instead of OOMing the driver. */
+  val MaxParityArticles: Long = 1L << 30
+
+  private[graft] def checkParityBudget(nArticles: Long): Unit =
+    require(nArticles <= MaxParityArticles,
+      s"EvalParagraphs.withEvalSpans is a PARITY-MODE job (driver holds 8 " +
+        s"bytes/article for the sequential MT19937 replay): $nArticles " +
+        s"articles exceeds the $MaxParityArticles ceiling — this script-" +
+        "port must not be pointed at a full corpus")
+
   /** The full job: articles in corpus order → one row per article in
     * SHUFFLED order with (article_num, id, title, url, eval_begin,
     * eval_end, text). */
@@ -86,6 +106,7 @@ object EvalParagraphs {
     // reclaimed by the ContextCleaner when the job's RDDs go out of scope.
     val withOrd = articles.rdd.zipWithIndex().map { case (a, ord) => (ord, a) }
       .localCheckpoint()
+    checkParityBudget(withOrd.count())
     val counts = withOrd
       .map { case (ord, a) => (ord, effectiveParagraphs(a.text)) }
       .collect().sortBy(_._1).map(_._2)

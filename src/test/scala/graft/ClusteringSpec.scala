@@ -125,6 +125,21 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("spark.graft.cc.checkpointDir conf flag routes the catalog CC through reliable checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_conf").toString
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    try {
+      assert(graft.queries.ErQueries.ccCheckpointDir(spark).contains(dir))
+      val n = graft.queries.ErQueries.erClusters(spark, sf).count()
+      assert(n > 0)
+      val kids = new java.io.File(dir).listFiles()
+      assert(kids != null && kids.exists(_.getName.startsWith("cc_")),
+        s"no cc_ namespace materialized under $dir")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+    assert(graft.queries.ErQueries.ccCheckpointDir(spark).isEmpty)
+  }
+
   test("maxIter exhaustion logs a loud non-convergence warning instead of silent under-merge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")

@@ -56,4 +56,12 @@ class EvalParagraphsSpec extends AnyFunSuite {
     val plan = EvalParagraphs.plan(IndexedSeq(2, 3, 4))
     assert(plan.forall(_._3 == 1))
   }
+
+  test("parity-mode ceiling: corpus-scale article counts fail loudly instead of OOMing the driver") {
+    EvalParagraphs.checkParityBudget(1000L) // within budget: no-op
+    val ex = intercept[IllegalArgumentException] {
+      EvalParagraphs.checkParityBudget((1L << 30) + 1)
+    }
+    assert(ex.getMessage.contains("PARITY-MODE"))
+  }
 }

@@ -19,6 +19,50 @@ class NerCorefSpec extends AnyFunSuite {
     assert(got2 == Seq((0, 4), (9, 17)))
   }
 
+  test("\"the X\" strip rule matches the executed-reference decision table (ner_postprocessing.py:17-29)") {
+    import DictionaryNer.NerSpan
+    val names = Set("The Netherlands", "Netherlands", "Beatles", "The Hague", "Hague", "press")
+    // goldens from executing the reference's verbatim condition expression
+    // against the same name set (spaCy absent; the condition is a pure
+    // (text, dict) predicate lifted unchanged):
+    val decisions = Seq(
+      "the press" -> true,          // lowercase branch: NO dictionary guard
+      "the unknown thing" -> true,  // lowercase strips even unknown tails
+      "The Netherlands" -> false,   // full text is a known name
+      "The Beatles" -> true,        // full unknown, tail known
+      "The Hague" -> false,         // full known (tail known too: keep wins)
+      "The Unknownia" -> false,     // neither known
+      "Theatre" -> false,           // no "the " prefix
+      "the" -> false,               // bare "the", no trailing space
+      "The " -> false,              // empty tail is not a known name
+      "the  double  space" -> true) // lookup keeps spaces, span skips them
+    decisions.foreach { case (text, expectStrip) =>
+      val in = NerSpan("u", 10, 10 + text.length, text, Extract.normalizeSurface(text))
+      val out = DictionaryNer.stripLeadingThe(in, names)
+      assert((out != in) == expectStrip, s"'$text': expected strip=$expectStrip, got $out")
+    }
+    // stripped span geometry: begin advances to the SECOND token, end fixed
+    val beatles = DictionaryNer.stripLeadingThe(
+      NerSpan("u", 7, 18, "The Beatles", "the beatles"), names)
+    assert(beatles == NerSpan("u", 11, 18, "Beatles", "beatles"))
+    // extra whitespace: the new span starts at the next token, but the
+    // DICTIONARY lookup saw the space-preserving 4-char tail
+    val dbl = DictionaryNer.stripLeadingThe(
+      NerSpan("u", 0, 18, "the  double  space", "the double space"), names)
+    assert(dbl.begin == 5 && dbl.surface == "double  space")
+    // distributed form agrees with the scalar rule
+    val spark2 = spark
+    import spark2.implicits._
+    val ds = decisions.map { case (t, _) =>
+      NerSpan("u", 0, t.length, t, Extract.normalizeSurface(t)) }.toDS()
+    val got = DictionaryNer.withTheStripped(ds, names).collect().map(_.surface).toSet
+    val want = decisions.map { case (t, strip) =>
+      if (strip) DictionaryNer.stripLeadingThe(
+        NerSpan("u", 0, t.length, t, Extract.normalizeSurface(t)), names).surface
+      else t }.toSet
+    assert(got == want)
+  }
+
   test("greedy matching is sequential: consumed tokens are not rematched") {
     val aliases = Set("a b", "b c")
     // "a b" matches first and consumes "b", so "b c" cannot match

@@ -191,6 +191,60 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("q15 prefix-filter: no all-pairs self-join on the (lang, source) block key alone") {
+    // the round-4 plan joined documents to itself on just (lang, source) —
+    // quadratic in block size; every join in the new plan must key on the
+    // prefix token or on doc ids
+    val df = Queries.q15JaccardPairs(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val keys = j.condition.map(_.references.toSeq.map(_.name).toSet)
+        .getOrElse(Set.empty[String])
+      assert(!(keys.nonEmpty && keys.subsetOf(Set("lang", "source"))),
+        s"all-pairs block self-join resurfaced (join keys: $keys)")
+    }
+  }
+
+  test("q15 candidate volume tracks near-pairs, not pairs, on a skewed one-block fixture") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(17)
+    // ONE block of 305 docs: the all-pairs plan would verify 46 360 pairs
+    val base = (0 until 300).map { i =>
+      val words = (0 until 30).map(_ => "w" + rng.nextInt(4000))
+      (i.toLong, "en", "web", words.mkString(" "))
+    }
+    // planted near-dups (one word changed -> J well above 0.5)
+    val dups = (0 until 5).map { i =>
+      val t = base(i)._4.split(' ').updated(7, "CHANGED").mkString(" ")
+      (1000L + i, "en", "web", t)
+    }
+    val docs = (base ++ dups).toDF("doc_id", "lang", "source", "text")
+    val sorted = Queries.q15SortedToks(docs).localCheckpoint(true)
+    val nCand = Queries.q15Candidates(sorted).count()
+    val allPairs = 305L * 304 / 2
+    assert(nCand < allPairs / 10, s"candidate count $nCand is not << $allPairs")
+    // and the prefix-filtered result is EXACTLY the brute-force reference
+    val got = Queries.q15Pairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+      array_distinct(split(col("text"), " ")).as("toks_a"))
+    val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+      array_distinct(split(col("text"), " ")).as("toks_b"))
+    val brute = a.join(b, Seq("lang", "source")).where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
+      .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))).cast("bigint"))
+      .where(col("inter") * 2 >= col("uni"))
+      .select("doc_a", "doc_b", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute, s"prefix-filter result diverges from brute force " +
+      s"(got ${got.size}, brute ${brute.size})")
+    assert(got.size >= 5, "planted near-dup pairs missing")
+  }
+
   test("documents scans prune to the referenced columns") {
     val p = plan(Queries.q8Unigrams(spark, dir))
     val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)

@@ -35,7 +35,14 @@ object Clustering {
       maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame =
     checkpointDir match {
-      case Some(dir) => connectedComponentsCheckpointed(spark, edges, dir, maxIter).clusters
+      case Some(dir) =>
+        val run = connectedComponentsCheckpointed(spark, edges, dir, maxIter)
+        // a resumed namespace whose last round already exceeds this
+        // caller's smaller maxIter skips the loop entirely — the silent
+        // path the round-4 advice flagged; warn here exactly like the
+        // in-memory branch (direct CcRun callers read .converged instead)
+        if (!run.converged) warnNotConverged("reliable-checkpoint", maxIter)
+        run.clusters
       case None =>
         val e = localContract(normalizeEdges(edges)).localCheckpoint(true)
         withRightSizedShuffle(spark, e.count()) {

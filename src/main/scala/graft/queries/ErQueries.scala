@@ -78,24 +78,36 @@ object ErQueries {
       Blocking.blockProfile(mentions).persist(StorageLevel.MEMORY_AND_DISK)
 
     /** Transitive clustering over the match edges — ONE connected-components
-      * run per session (G6). The `spark.graft.cc.checkpointDir` session
-      * conf (unset/empty = default in-memory localCheckpoint rounds)
-      * switches the CC loop to RELIABLE, resumable Parquet rounds under
-      * the given directory — the cluster-deployment mode, reachable from
-      * the catalog surface without code changes. */
-    lazy val clusters: DataFrame =
-      Clustering.assign(
-        spark,
-        mentions.select(col("mention_id").as("id")),
-        scoredPairs.where(col("is_match")).select(col("a"), col("b")),
-        checkpointDir = ccCheckpointDir(spark))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      * run per session AND CC MODE (G6). The `spark.graft.cc.checkpointDir`
+      * session conf (unset/empty = default in-memory localCheckpoint
+      * rounds) switches the CC loop to RELIABLE, resumable Parquet rounds
+      * under the given directory — the cluster-deployment mode, reachable
+      * from the catalog surface without code changes. Only the CLUSTERS
+      * stage is keyed by the mode: flipping the conf mid-session reuses
+      * the persisted extraction/scoring stages instead of duplicating the
+      * whole corpus-scale memo (round-5 review finding). */
+    private val clustersByMode =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+    def clusters: DataFrame =
+      clustersByMode.computeIfAbsent(
+        ccCheckpointDir(spark).getOrElse(""),
+        mode =>
+          Clustering.assign(
+            spark,
+            mentions.select(col("mention_id").as("id")),
+            scoredPairs.where(col("is_match")).select(col("a"), col("b")),
+            checkpointDir = Option(mode).filter(_.nonEmpty))
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
     /** Release every persisted stage (safe on never-materialized stages —
       * persist() is plan metadata until an action runs). */
     def unpersistAll(): Unit = {
       try blockProfile.unpersist(false) catch { case _: Throwable => () }
-      try clusters.unpersist(false) catch { case _: Throwable => () }
+      clustersByMode.values().forEach { c =>
+        try c.unpersist(false) catch { case _: Throwable => () }
+      }
+      clustersByMode.clear()
       try scoredPairs.unpersist(false) catch { case _: Throwable => () }
       try extracted.unpersist(false) catch { case _: Throwable => () }
       try mentions.unpersist(false) catch { case _: Throwable => () }
@@ -119,12 +131,7 @@ object ErQueries {
         it.remove()
       }
     }
-    // the CC mode participates in the memo key: flipping the conf flag
-    // mid-session must yield a Shared whose cluster stage honors it, not a
-    // stale memo computed under the other mode
-    cache.computeIfAbsent(
-      app + "|" + dir + "|" + ccCheckpointDir(spark).getOrElse(""),
-      _ => new Shared(spark, dir))
+    cache.computeIfAbsent(app + "|" + dir, _ => new Shared(spark, dir))
   }
 
   /** Reliable-CC mode flag: Some(dir) when `spark.graft.cc.checkpointDir`

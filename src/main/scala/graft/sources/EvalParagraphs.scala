@@ -72,23 +72,28 @@ object EvalParagraphs {
 
   /** PARITY-MODE driver-memory ceiling for [[withEvalSpans]]. The
     * reference's seed-31072020 MT19937 shuffle is inherently sequential
-    * over the global article order, so byte-exactness forces ONE
-    * (ord, paragraph-count) pair per article onto the driver — two
-    * primitive Int arrays, 8 bytes/article. 2^30 articles ≈ 8.6 GB of
-    * driver arrays: the documented upper bound of the parity mode. This
-    * job reproduces a benchmark-construction script (fixed-size
-    * evaluation sets), NOT a corpus-scale pipeline stage — the 100 TB
-    * paths (extraction, blocking, scoring, CC, dedup) never route
-    * through it; the guard below makes an accidental corpus-scale call
-    * fail loudly instead of OOMing the driver. */
-  val MaxParityArticles: Long = 1L << 30
+    * over the global article order, so byte-exactness forces the
+    * per-article plan onto the driver. The DURABLE state is two primitive
+    * Int arrays (8 bytes/article), but the honest budget must count the
+    * TRANSIENTS of the exact CPython replay: the collect's boxed
+    * (Long, Int) tuples, sortBy's second copy, and plan()'s boxed
+    * ArrayBuffer + (Int, Int, Int) tuple seq — together ~64 bytes/article
+    * at peak. The ceiling is therefore 2^27 (~134 M articles ≈ 8-9 GB
+    * transient peak), far beyond any benchmark-construction use (the
+    * reference samples 10 k articles) but honest about when the driver
+    * would actually hurt. This job reproduces a benchmark-construction
+    * script (fixed-size evaluation sets), NOT a corpus-scale pipeline
+    * stage — the 100 TB paths (extraction, blocking, scoring, CC, dedup)
+    * never route through it; the guard below makes an accidental
+    * corpus-scale call fail loudly instead of OOMing the driver. */
+  val MaxParityArticles: Long = 1L << 27
 
   private[graft] def checkParityBudget(nArticles: Long): Unit =
     require(nArticles <= MaxParityArticles,
-      s"EvalParagraphs.withEvalSpans is a PARITY-MODE job (driver holds 8 " +
-        s"bytes/article for the sequential MT19937 replay): $nArticles " +
-        s"articles exceeds the $MaxParityArticles ceiling — this script-" +
-        "port must not be pointed at a full corpus")
+      s"EvalParagraphs.withEvalSpans is a PARITY-MODE job (driver holds " +
+        s"~64 bytes/article transient for the sequential MT19937 replay): " +
+        s"$nArticles articles exceeds the $MaxParityArticles ceiling — " +
+        "this script-port must not be pointed at a full corpus")
 
   /** The full job: articles in corpus order → one row per article in
     * SHUFFLED order with (article_num, id, title, url, eval_begin,

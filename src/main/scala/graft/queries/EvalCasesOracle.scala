@@ -194,6 +194,8 @@ object EvalCasesOracle {
        |      WHEN (SELECT count(*) FROM preds
        |            WHERE NOT regexp_full_match(pred_id, 'E[0-9]+')) > 0
        |           THEN error('eval_cases oracle: unknown predicted id would break the known-pred collapse')
+       |      WHEN (SELECT count(*) FROM feats WHERE is_pron OR is_nom) > 0
+       |           THEN error('eval_cases oracle: coreference-type surface present — the coref error-labeler branches (errors.py:195-221) are not derived here')
        |      WHEN (SELECT count(*) FROM preds p JOIN sp s
        |              ON p.url = s.url AND p."begin" = s."begin" AND p."end" = s."end"
        |            WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.url = p.url AND

@@ -276,6 +276,11 @@ object Queries {
   private[graft] def q15SortedToks(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"), col("source"),
       array_distinct(split(col("text"), " ")).as("toks"))
+    // token frequency via aggregate + equi-join, NOT a window partitioned
+    // by tok: the aggregate is map-side partial (tiny shuffle) and AQE can
+    // broadcast the vocab-sized dim or split a skewed join partition,
+    // whereas a per-token window would pin every occurrence of a hot
+    // token ("the") into one task with no skew remedy
     val tokFreq = d.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
     d.select(col("doc_id"), col("lang"), col("source"),

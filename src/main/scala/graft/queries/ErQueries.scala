@@ -91,7 +91,11 @@ object ErQueries {
 
     def clusters: DataFrame =
       clustersByMode.computeIfAbsent(
-        ccCheckpointDir(spark).getOrElse(""),
+        // conf from the ACTIVE session, not the constructor-captured one:
+        // sibling sessions (spark.newSession()) share the applicationId
+        // and therefore this Shared instance, but each carries its own
+        // session conf — the caller's mode choice must win
+        ccCheckpointDir(SparkSession.getActiveSession.getOrElse(spark)).getOrElse(""),
         mode =>
           Clustering.assign(
             spark,

@@ -60,7 +60,7 @@ class EvalParagraphsSpec extends AnyFunSuite {
   test("parity-mode ceiling: corpus-scale article counts fail loudly instead of OOMing the driver") {
     EvalParagraphs.checkParityBudget(1000L) // within budget: no-op
     val ex = intercept[IllegalArgumentException] {
-      EvalParagraphs.checkParityBudget((1L << 30) + 1)
+      EvalParagraphs.checkParityBudget(EvalParagraphs.MaxParityArticles + 1)
     }
     assert(ex.getMessage.contains("PARITY-MODE"))
   }

@@ -4,9 +4,16 @@ dumps (tools/EvalCasesFixture.scala) and assert row-set equality with the
 engine's case table — executed evidence for the SQL branches that the
 driver gate's synthetic corpus never reaches (no-prediction FN incl. the
 is_date filter and NER_FN_LOWERCASED, partial-name wrong/correct,
-multi-candidate labels)."""
+multi-candidate labels).
+
+Self-protecting: also asserts that those previously-dead branch labels
+actually APPEAR in the fixture output, so a fixture/Synth/isDate drift
+that silently kills a branch fails the check instead of passing
+vacuously."""
 import sys
 import duckdb
+
+from oracle_compare import compare
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/eval_cases_fixture"
 sql = open(f"{out}/eval_cases.sql").read()
@@ -14,33 +21,32 @@ sql = open(f"{out}/eval_cases.sql").read()
 want = duckdb.sql(sql).df()
 got = duckdb.sql(f"SELECT * FROM '{out}/eval_cases_expected/*.parquet'").df()
 
-def canon(df):
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+if not compare("eval_cases_fixture", want, got):
+    sys.exit(1)
 
-w, g = canon(want), canon(got)
-ok = True
-if list(w.columns) != list(g.columns):
-    print(f"FAIL columns: oracle={list(w.columns)} engine={list(g.columns)}")
-    ok = False
-elif len(w) != len(g):
-    print(f"FAIL rows: oracle={len(w)} engine={len(g)}")
-    ok = False
-else:
-    for c in w.columns:
-        same = w[c].astype(str) == g[c].astype(str)
-        if not same.all():
-            bad = (~same).idxmax()
-            print(f"FAIL col {c} row {bad}: oracle={w[c].astype(str)[bad]!r} "
-                  f"engine={g[c].astype(str)[bad]!r}")
-            ok = False
-if ok:
-    print(f"OK eval_cases fixture: {len(w)} cases, oracle == engine")
-    # show the exercised branch labels for the reader
-    print(duckdb.sql(
-        f"SELECT text, linking_ignored, errors_ignored "
-        f"FROM '{out}/eval_cases_expected/*.parquet' ORDER BY \"begin\"").df().to_string())
-sys.exit(0 if ok else 1)
+# the branches this fixture EXISTS to exercise must actually fire
+REQUIRED_LABELS = {
+    "NER_FN", "NER_FN_LOWERCASED", "NER_FN_OTHER",
+    "DISAMBIGUATION_PARTIAL_NAME_WRONG", "DISAMBIGUATION_PARTIAL_NAME_CORRECT",
+    "DISAMBIGUATION_MULTI_CANDIDATES_WRONG", "DISAMBIGUATION_MULTI_CANDIDATES_CORRECT",
+    "DISAMBIGUATION_CANDIDATES_WRONG", "HYPERLINK_WRONG",
+}
+seen = set()
+for cell in got["errors_ignored"]:
+    seen.update(x for x in str(cell).split(",") if x)
+missing = REQUIRED_LABELS - seen
+if missing:
+    print(f"FAIL: fixture no longer exercises: {sorted(missing)} — "
+          "a Synth/isDate/fixture drift made a dead branch dead again")
+    sys.exit(1)
+linkings = set(got["linking_ignored"].astype(str))
+if not {"TP", "FN", "FN,FP"} <= linkings:
+    print(f"FAIL: linking decision branches missing: got {sorted(linkings)}")
+    sys.exit(1)
+
+print(f"OK eval_cases fixture: {len(want)} cases, oracle == engine, "
+      f"all dead-branch labels exercised")
+print(duckdb.sql(
+    f"SELECT text, linking_ignored, errors_ignored "
+    f"FROM '{out}/eval_cases_expected/*.parquet' ORDER BY \"begin\"").df().to_string())
+sys.exit(0)

@@ -58,8 +58,20 @@ object EvalCasesFixture {
       Ment(Synth.canonicalName(7), 7, Some(Seq("E7", "E8"))))
 
     // build the text: surfaces separated by " . " so word-boundary
-    // expansion is the identity on every span
+    // expansion is the identity on every span — EXCEPT the leading
+    // overlap pair below, which exercises the expanded-key fallback
     val sb = new StringBuilder
+    // Two overlapping mentions inside ONE word "XXabcYY": m_ov1 = "XXab"
+    // (has a kb alias -> raw prediction at (0,4)), m_ov2 = "abcYY" (no
+    // alias -> no raw prediction). Both word-boundary-expand to the full
+    // word, so m_ov2 must pick up m_ov1's prediction via the EXPANDED key
+    // of the allPredictions dict (case_generator.py:93-101) — the
+    // fallback path that is the identity everywhere else in this fixture
+    // and dead in the synthetic corpus.
+    sb.append("XXabcYY . ")
+    val ovM = Seq(
+      Ment("XXab", 8, Some(Seq("E8"))) -> (0, 4),
+      Ment("abcYY", 9, None) -> (2, 7))
     val spans = ms.map { m =>
       val b = sb.length
       sb.append(m.surface)
@@ -69,22 +81,23 @@ object EvalCasesFixture {
     }
     val text = sb.toString
     val url = "https://fixture.example/doc1"
+    val allMs: Seq[(Ment, (Int, Int))] = ovM ++ ms.zip(spans)
 
     // ---- oracle inputs ----------------------------------------------------
-    val mentionRows = ms.zip(spans).zipWithIndex.map { case ((m, (b, e)), i) =>
+    val mentionRows = allMs.zipWithIndex.map { case ((m, (b, e)), i) =>
       (url, i.toLong, b, e, m.surface, Extract.normalizeSurface(m.surface), s"E${m.entNum}")
     }
     mentionRows.toDF("url", "mention_id", "begin", "end", "surface", "norm_surface", "gold_entity")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/er_mentions")
 
-    spans.map { case (b, e) =>
+    allMs.map { case (_, (b, e)) =>
       val (eb, ee) = Extract.wordBoundary(b, e, text)
       (url, b, e, eb, ee)
     }.toDF("url", "begin", "end", "exp_begin", "exp_end")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/aux_label_spans")
 
-    ms.flatMap(m => m.kb.map(c =>
-      (Extract.normalizeSurface(m.surface), c.sorted.mkString(","), 5L)))
+    allMs.flatMap { case (m, _) => m.kb.map(c =>
+      (Extract.normalizeSurface(m.surface), c.sorted.mkString(","), 5L)) }
       .toDF("link_text", "candidates", "freq")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/kb_top_candidates")
 
@@ -94,11 +107,11 @@ object EvalCasesFixture {
       graft.queries.EvalCasesOracle.sql.replace("{OUT}", outAbs))
 
     // ---- engine side: benchmarkDocs + baseline-replay + generateCases ----
-    val labels = ms.zip(spans).zipWithIndex.map { case ((m, (b, e)), i) =>
+    val labels = allMs.zipWithIndex.map { case ((m, (b, e)), i) =>
       GtLabel(i, b, e, s"E${m.entNum}", Synth.canonicalName(m.entNum),
         None, Nil, optionalFlag = false, Nil, None, desc = false)
     }
-    val preds = ms.zip(spans).flatMap { case (m, (b, e)) =>
+    val preds = allMs.flatMap { case (m, (b, e)) =>
       m.kb match {
         case Some(cands) if !Extract.isDate(m.surface) =>
           Some(PredSpan(b, e, cands.min, cands, "Baseline"))

@@ -245,6 +245,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(got.size >= 5, "planted near-dup pairs missing")
   }
 
+  test("q15 prefix-filter equals brute force on randomized corpora incl. edge cases (property)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def brute(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] = {
+      val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+        array_distinct(split(col("text"), " ")).as("toks_a"))
+      val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+        array_distinct(split(col("text"), " ")).as("toks_b"))
+      pairsOf(a.join(b, Seq("lang", "source")).where(col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
+        .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))).cast("bigint"))
+        .where(col("inter") * 2 >= col("uni"))
+        .select("doc_a", "doc_b", "inter", "uni"))
+    }
+    // (seed, nDocs, maxDocLen, vocab): dense-dup small-vocab, sparse
+    // random, and near-clique regimes; plus empty-text and single-token
+    // edge docs in every corpus
+    Seq((1, 40, 12, 30), (2, 80, 25, 400), (3, 50, 4, 8)).foreach {
+      case (seed, nDocs, maxLen, vocab) =>
+        val rng = new scala.util.Random(seed)
+        val langs = Seq("en", "de")
+        val rows = (0 until nDocs).map { i =>
+          val words = (0 until (1 + rng.nextInt(maxLen))).map(_ => "w" + rng.nextInt(vocab))
+          (i.toLong, langs(rng.nextInt(langs.length)), "web", words.mkString(" "))
+        } ++ Seq((9000L, "en", "web", ""), (9001L, "en", "web", "solo"),
+          (9002L, "en", "web", "solo"))
+        val docs = rows.toDF("doc_id", "lang", "source", "text")
+        val got = pairsOf(Queries.q15Pairs(docs))
+        val want = brute(docs)
+        assert(got == want,
+          s"seed $seed: prefix-filter ${got.size} pairs vs brute ${want.size}")
+        assert(want.nonEmpty, s"seed $seed: degenerate fixture (no pairs)")
+    }
+  }
+
   test("documents scans prune to the referenced columns") {
     val p = plan(Queries.q8Unigrams(spark, dir))
     val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)

@@ -44,7 +44,7 @@ object Dedup {
     ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](
       () => new java.util.ArrayDeque[DataFrame]())
 
-  private def persistSig(df: DataFrame): DataFrame = {
+  private[graft] def persistSig(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     activeSigs.get().add(p)
     p
@@ -99,6 +99,33 @@ object Dedup {
       maxBucket: Int) {
     require(Seq("id_a", "id_b").forall(pairs.columns.contains),
       s"near-pair table needs id_a/id_b columns, got: ${pairs.columns.mkString(", ")}")
+  }
+
+  /** Deterministic pseudo-gaussian hyperplanes (sum of 4 uniforms - 2),
+    * shared by [[embeddingDupPairs]] and Ann.lshTopK. The plane cell index
+    * ((b*dim + d)*4 + x) is injective for EVERY dim before the splitmix64
+    * mix — the previous b*1009 + d*31 + x schedule collided for dim >= 66,
+    * correlating supposedly independent plane components (round-5
+    * review). */
+  private[graft] def hyperplanes(seed: Long, nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
+      (0 until 4).map(x =>
+        (splitmix64(seed ^ ((b.toLong * dim + d) * 4 + x)) >>> 11).toDouble / (1L << 53)).sum - 2.0
+    }
+
+  /** Sign signature of v against the planes (bit b set iff dot > 0). */
+  private[graft] def signSignature(planes: Array[Array[Double]], v: Seq[Double]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var dot = 0.0
+      var d = 0
+      while (d < v.length && d < p.length) { dot += v(d) * p(d); d += 1 }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 
   // ---------- exact ----------------------------------------------------------
@@ -248,8 +275,13 @@ object Dedup {
     val banded = capBuckets(sigs.select(
       col("id"), col("sim"),
       explode(expr(
+        // UNSIGNED band extraction: simhash64 uses all 64 bits, so ~half
+        // the signatures are negative and signed div/% would make every
+        // band's bucket depend on the SIGN and low-bit borrows — two
+        // signatures agreeing bitwise on a band could land in different
+        // buckets, silently dropping within-radius pairs (round-5 review).
         s"transform(sequence(0, ${nBands - 1}), b -> " +
-          s"concat(cast(b as string), ':', cast((sim div shiftleft(1L, b * $width)) % shiftleft(1L, $width) as string)))"))
+          s"concat(cast(b as string), ':', cast((shiftrightunsigned(sim, b * $width) & ${(1L << width) - 1}L) as string)))"))
         .as("bucket")), maxBucket)
     val l = banded.select(col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = banded.select(col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
@@ -363,26 +395,11 @@ object Dedup {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val dim = base.select(size(col("v"))).head().getInt(0)
-    // deterministic pseudo-gaussian hyperplanes (sum of 4 uniforms - 2)
-    val planes = Array.tabulate(nBits, dim) { (b, d) =>
-      (0 until 4).map(k =>
-        (splitmix64(seed ^ (b * 1009L + d * 31L + k)) >>> 11).toDouble / (1L << 53)).sum - 2.0
-    }
-    val planesB = spark.sparkContext.broadcast(planes)
+    val planesB = spark.sparkContext.broadcast(hyperplanes(seed, nBits, dim))
     // persisted: referenced 4x in the plan with no exchange reuse (see
     // minhashPairs)
     val signed = persistSig(base.as[(Long, Seq[Double])].map { case (id, v) =>
-      val p = planesB.value
-      var sig = 0L
-      var b = 0
-      while (b < p.length) {
-        var dot = 0.0
-        var d = 0
-        while (d < v.length && d < p(b).length) { dot += v(d) * p(b)(d); d += 1 }
-        if (dot > 0) sig |= (1L << b)
-        b += 1
-      }
-      (id, v, sig)
+      (id, v, signSignature(planesB.value, v))
     }.toDF("id", "v", "sig"))
     val nBands = nBits / bandBits
     val banded = capBuckets(signed.select(

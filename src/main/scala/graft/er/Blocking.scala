@@ -104,7 +104,13 @@ object Blocking {
       .withColumn(
         "bkey",
         when(col("nb") <= 1, col("key"))
-          .otherwise(concat(col("key"), lit("#"), pmod(xxhash64(col("id")), col("nb")))))
+          .otherwise(concat(col("key"), lit("#"),
+            // salted by the block key: an unsalted hash(id) splits the same
+            // pair identically in EVERY oversized block with equal nb,
+            // losing it from the candidate universe even when another
+            // shared key could recover it (round-5 review; same discipline
+            // as Dedup.capBuckets)
+            pmod(xxhash64(col("id"), col("key")), col("nb")))))
       .select(col("bkey"), col("id"))
     val a = withBucket.select(col("bkey"), col("id").as("a"))
     val b = withBucket.select(col("bkey"), col("id").as("b"))
@@ -142,7 +148,13 @@ object Blocking {
       .withColumn(
         "bkey",
         when(col("nb") <= 1, col("key"))
-          .otherwise(concat(col("key"), lit("#"), pmod(xxhash64(col("id")), col("nb")))))
+          .otherwise(concat(col("key"), lit("#"),
+            // salted by the block key: an unsalted hash(id) splits the same
+            // pair identically in EVERY oversized block with equal nb,
+            // losing it from the candidate universe even when another
+            // shared key could recover it (round-5 review; same discipline
+            // as Dedup.capBuckets)
+            pmod(xxhash64(col("id"), col("key")), col("nb")))))
       .select(col("bkey"), col("id"), col("ns"), col("ctx"), col("gold"))
   }
 

@@ -91,14 +91,19 @@ object Mentions {
         val (ps, pe) = paragraphOf(h.begin)
         // tokens of the paragraph excluding the mention's own surface span
         val before = text.substring(ps, h.begin)
-        val after = text.substring(h.end, pe)
+        // a malformed page (unclosed <a>) can yield a hyperlink span that
+        // crosses the paragraph boundary; clamp instead of throwing — the
+        // context window simply ends at the paragraph for such spans
+        val after = if (h.end <= pe) text.substring(h.end, pe) else ""
         // sorted by CODE POINT (== UTF-8 byte order), not UTF-16 code-unit
         // order: SortedJaccardExpr merges via UTF8String.compareTo, and the
         // two orders differ for supplementary-plane vs U+E000..U+FFFF tokens
         // — a default-`sorted` array could be mis-sorted for the merge and
         // silently undercount the intersection.
         val ctx = (Extract.tokenize(before) ++ Extract.tokenize(after))
-          .map(_.toLowerCase).distinct
+          // Locale.ROOT: default-locale lowercasing would break bit-exact
+          // determinism across JVMs (e.g. tr_TR dotless-i)
+          .map(_.toLowerCase(java.util.Locale.ROOT)).distinct
           .sorted(Mentions.CodePointOrdering)
         Mention(
           url = url,

@@ -327,7 +327,7 @@ object AuxOracles {
     s"""WITH cells AS (
        |  SELECT b.range AS b, d.range AS d, k.range AS k,
        |    CAST(xor(CAST(42 AS HUGEINT),
-       |             CAST(b.range * 1009 + d.range * 31 + k.range AS HUGEINT)) AS HUGEINT) AS x
+       |             CAST((b.range * 64 + d.range) * 4 + k.range AS HUGEINT)) AS HUGEINT) AS x
        |  FROM range(16) b, range(64) d, range(4) k),
        |${splitmixStages("cells")},
        |u AS (SELECT b, d, k, CAST(z // 2048 AS DOUBLE) / 9007199254740992.0 AS uval FROM s4),
@@ -434,7 +434,7 @@ object AuxOracles {
     s"""WITH cells AS (
        |  SELECT b.range AS b, d.range AS d, k.range AS k,
        |    CAST(xor(CAST(42 AS HUGEINT),
-       |             CAST(b.range * 1009 + d.range * 31 + k.range AS HUGEINT)) AS HUGEINT) AS x
+       |             CAST((b.range * 64 + d.range) * 4 + k.range AS HUGEINT)) AS HUGEINT) AS x
        |  FROM range(16) b, range(64) d, range(4) k),
        |${splitmixStages("cells")},
        |u AS (SELECT b, d, k, CAST(z // 2048 AS DOUBLE) / 9007199254740992.0 AS uval FROM s4),
@@ -543,9 +543,11 @@ object AuxOracles {
   /** Full SimHash replay (Dedup.simhashPairs, maxHamming=8 → 9 bands of
     * width 7): per-token rolling hashes via splitmix64 INLINED into a
     * list_reduce fold (UTF-16 units, Java-split semantics via rtrim),
-    * per-bit majority vote, signed 64-bit signature, the engine's
-    * div/% band bucketing (DuckDB's // and % truncate toward zero like
-    * Java), pigeonhole pairs with bit_count(xor) <= 8. */
+    * per-bit majority vote, UNSIGNED band extraction on the 64-bit
+    * signature (bits band*7 .. band*7+6 via nonneg HUGEINT division —
+    * matching the engine's shiftrightunsigned+mask; signed div/% would
+    * make buckets sign- and borrow-dependent), pigeonhole pairs with
+    * bit_count(xor) <= 8. */
   val ddSimhashPairsSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, CASE WHEN rtrim(text, ' ') = '' THEN CAST([] AS VARCHAR[])
@@ -570,12 +572,12 @@ object AuxOracles {
        |             THEN (CAST(1 AS HUGEINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS HUGEINT) END)),
        |      (x, y) -> x + y) AS HUGEINT) AS usim
        |  FROM hashes),
-       |sig AS (SELECT doc_id AS id,
+       |sig AS (SELECT doc_id AS id, usim,
        |          CAST(CASE WHEN usim >= 9223372036854775808
        |                    THEN usim - 18446744073709551616 ELSE usim END AS BIGINT) AS sim
        |        FROM sims),
        |banded AS (SELECT band.range AS band,
-       |             (sim // (CAST(1 AS BIGINT) << CAST(band.range * 7 AS INTEGER))) % 128 AS bucket,
+       |             (usim // (CAST(1 AS HUGEINT) << CAST(band.range * 7 AS INTEGER))) % 128 AS bucket,
        |             id, sim
        |           FROM sig, range(9) band),
        |pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sim AS sa, r.sim AS sb

@@ -167,8 +167,14 @@ object Ann extends Serializable {
       trainSample: Int = 4096):
       (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
     import spark.implicits._
-    val base = corpus.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v")).as[(Long, Seq[Double])]
+    // persisted via the shared signature registry: the cast corpus feeds
+    // THREE jobs (the autoNLists count, the training-sample scan, and the
+    // cell assignment) — unpersisted, each re-ran the full corpus scan;
+    // surfaces release it with Dedup.releaseSignatures() like every other
+    // per-query scratch table
+    val base = graft.dedup.Dedup.persistSig(
+      corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))).as[(Long, Seq[Double])]
     val lists = if (nLists > 0) nLists else autoNLists(base.count())
 
     // deterministic training sample: the smallest splitmix64(id) rows. The
@@ -248,9 +254,13 @@ object Ann extends Serializable {
           .map { case (i, _) => (i, qid, qv) }
       }.toDF("cell", "query_id", "qv")
 
+    // no (query_id, nbr_id) dedup: each corpus row lives in exactly ONE
+    // cell and a query's probed cells are distinct, so a pair can never
+    // repeat — the former dropDuplicates was a full candidate-scale
+    // shuffle carrying both embedding arrays for zero semantic effect
+    // (round-5 review)
     val cand = probes.join(assigned, Seq("cell"))
       .where(col("nbr_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "nbr_id")
       .withColumn("cosine", Dedup.cosineCol(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
@@ -275,30 +285,13 @@ object Ann extends Serializable {
       seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val planes = Array.tabulate(nBits, dim) { (b, d) =>
-      (0 until 4).map(x =>
-        (graft.synth.Synth.splitmix64(seed ^ (b * 1009L + d * 31L + x)) >>> 11)
-          .toDouble / (1L << 53)).sum - 2.0
-    }
-    val planesB = spark.sparkContext.broadcast(planes)
+    val planesB = spark.sparkContext.broadcast(Dedup.hyperplanes(seed, nBits, dim))
     val nBands = nBits / bandBits
 
     def banded(df: DataFrame, ident: String): DataFrame =
       df.select(col(idCol).cast("long").as(ident), col(vecCol).cast("array<double>").as(ident + "_v"))
         .as[(Long, Seq[Double])]
-        .map { case (id, v) =>
-          val p = planesB.value
-          var sig = 0L
-          var b = 0
-          while (b < p.length) {
-            var dot = 0.0
-            var d = 0
-            while (d < v.length && d < p(b).length) { dot += v(d) * p(b)(d); d += 1 }
-            if (dot > 0) sig |= (1L << b)
-            b += 1
-          }
-          (id, v, sig)
-        }
+        .map { case (id, v) => (id, v, Dedup.signSignature(planesB.value, v)) }
         .toDF(ident, ident + "_v", "sig")
         .select(
           col(ident), col(ident + "_v"),
@@ -307,8 +300,31 @@ object Ann extends Serializable {
               s"concat(cast(b as string), ':', cast((sig div shiftleft(1L, b * $bandBits)) % shiftleft(1L, $bandBits) as string)))"))
             .as("bucket"))
 
-    val cb = banded(corpus, "nbr_id")
+    // HOT-BUCKET cap (round-5 review): a flooded band bucket (boilerplate
+    // near-identical embeddings) would otherwise land in ONE join task.
+    // Corpus side sub-buckets oversized buckets (salted, as in
+    // Dedup.capBuckets); the QUERY side fans out over every sub-bucket of
+    // its bucket, so the candidate SET — and the top-k result — is
+    // IDENTICAL to the uncapped plan; only the task granularity changes.
+    val maxBucket = Dedup.DefaultMaxBucket
+    val cb0 = banded(corpus, "nbr_id")
+    val hot = cb0.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+    val cb = cb0.join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("nb", coalesce(ceil(col("bsz") / lit(maxBucket)).cast("int"), lit(1)))
+      .withColumn("bucket",
+        when(col("nb") <= 1, col("bucket"))
+          .otherwise(concat(col("bucket"), lit("#"),
+            pmod(xxhash64(col("nbr_id"), col("bucket")), col("nb")))))
+      .drop("bsz", "nb")
     val qb = banded(queries, "query_id")
+      .join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("nb", coalesce(ceil(col("bsz") / lit(maxBucket)).cast("int"), lit(1)))
+      .withColumn("sub", explode(expr("sequence(0, nb - 1)")))
+      .withColumn("bucket",
+        when(col("nb") <= 1, col("bucket"))
+          .otherwise(concat(col("bucket"), lit("#"), col("sub"))))
+      .drop("bsz", "nb", "sub")
     val cand = qb.join(cb, Seq("bucket"))
       .where(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("query_id_v"), col("nbr_id"), col("nbr_id_v"))

@@ -122,6 +122,44 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(maxDeg < 400, s"cap had no effect (degree $maxDeg)")
   }
 
+  test("simhashPairs pigeonhole contract: EVERY within-radius pair found, incl. negative signatures") {
+    // the signed div/% band bucketing silently dropped pairs whose
+    // signatures differed in the sign bit (and mis-bucketed negative sims
+    // on borrow boundaries) — round-5 review; unsigned extraction makes
+    // banding exact again. This test brute-forces the full within-radius
+    // pair set over mixed-sign signatures and demands set EQUALITY.
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(23)
+    val base = (0 until 400).map { i =>
+      (i.toLong, (0 until 100).map(_ => "w" + rng.nextInt(500)).mkString(" "))
+    }
+    // one-token mutation: ~100-token docs flip only the low-margin bits,
+    // so most planted pairs land within Hamming 8
+    val variants = base.map { case (id, t) =>
+      (id + 10000L, t.split(' ').updated(5, "ALT" + (id % 7)).mkString(" "))
+    }
+    val all = base ++ variants
+    val sims = all.map { case (id, t) => id -> Dedup.simhash64(t.split(' ').toSeq) }.toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ids = all.map(_._1).sorted
+    val withinRadius = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      if ham(sims(ids(i)), sims(ids(j))) <= 8
+    } yield (ids(i), ids(j))).toSet
+    val mixedSign = withinRadius.count { case (a, b) => (sims(a) < 0) != (sims(b) < 0) }
+    val negNeg = withinRadius.count { case (a, b) => sims(a) < 0 && sims(b) < 0 }
+    assert(withinRadius.nonEmpty && mixedSign > 0 && negNeg > 0,
+      s"fixture must exercise mixed-sign (got $mixedSign) and neg-neg ($negNeg) pairs")
+    val found = Dedup.simhashPairs(all.toDF("doc_id", "text"), "doc_id", "text",
+      maxHamming = 8, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == withinRadius,
+      s"banding lost ${(withinRadius -- found).size} within-radius pairs " +
+        s"(found ${found.size}/${withinRadius.size})")
+    Dedup.releaseSignatures()
+  }
+
   test("simhashPairs DEFAULT maxBucket is the capped web-scale value; exhaustive is opt-in") {
     // the driver surface and the library default must agree (round-4 advice:
     // a new caller used to get the exhaustive Int.MaxValue behavior)

@@ -45,11 +45,10 @@ object Clustering {
         run.clusters
       case None =>
         val e = localContract(normalizeEdges(edges)).localCheckpoint(true)
-        withRightSizedShuffle(spark, e.count()) {
-          val (clusters, converged) = connectedComponentsLoop(e, maxIter)
-          if (!converged) warnNotConverged("in-memory", maxIter)
-          clusters
-        }
+        val parts = rightSizedParts(spark, e.count())
+        val (clusters, converged) = connectedComponentsLoop(e, maxIter, parts)
+        if (!converged) warnNotConverged("in-memory", maxIter)
+        clusters
     }
 
   /** Loud non-convergence warning (round-4 advice): a loop that exhausts
@@ -115,40 +114,52 @@ object Clustering {
     * rounds run O(log n) small jobs, and a width tuned for the scoring
     * stage (thousands of partitions) would turn each round into a storm of
     * empty micro-tasks. ~100k edges per partition, capped at the session
-    * parallelism. */
-  private def withRightSizedShuffle[T](spark: SparkSession, nEdges: Long)(body: => T): T = {
-    val parts = math.max(1L, math.min(
+    * parallelism. Applied as EXPLICIT per-key repartition() calls inside
+    * the round plans, NOT by mutating spark.sql.shuffle.partitions around
+    * the loop — the session conf is shared across threads, and a
+    * set/restore raced with plans being BUILT concurrently (they bake
+    * numShufflePartitions in at construction; an interleaved restore could
+    * even pin the session at the temporary width — round-5 review). A
+    * user-specified repartition is exempt from AQE coalescing and
+    * satisfies the downstream aggregation/join distributions, so every
+    * round runs at the graph's width regardless of session tuning, and
+    * the returned (lazy) cluster plan keeps its width wherever it
+    * executes. */
+  private def rightSizedParts(spark: SparkSession, nEdges: Long): Int =
+    math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L + 1)).toInt
-    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try body
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
-  }
 
   /** One large-star + small-star contraction round (pure plan — callers
     * choose the materialization: localCheckpoint or a Parquet snapshot). */
-  private def ccRound(e: DataFrame): DataFrame = {
+  private def ccRound(e: DataFrame, parts: Int): DataFrame = {
     // ---- large-star: for each node u, hang strictly-larger neighbors on
-    //      m = min(N(u) ∪ {u})
+    //      m = min(N(u) ∪ {u}). The one repartition node is referenced by
+    //      both the aggregation and the join side, so the exchange is
+    //      reusable; each shuffle keys on its own distribution at the
+    //      fixed right-sized width (rightSizedParts doc).
     val both = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .repartition(parts, col("u"))
     val mins = both.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
     val ls = both
       .join(mins, Seq("u"))
       .where(col("v") > col("u") && col("v") =!= col("m"))
       .select(col("v").as("a"), col("m").as("b"))
+      .repartition(parts, col("a"), col("b"))
       .distinct()
 
     // ---- small-star: orient edges high→low, hang all small neighbors
     //      (and the node itself) on the minimum
     val dir = ls.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .repartition(parts, col("u"))
     val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
     dir
       .join(mins2, Seq("u"))
       .where(col("v") =!= col("m"))
       .select(col("v").as("a"), col("m").as("b"))
       .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
+      .repartition(parts, col("a"), col("b"))
       .distinct()
   }
 
@@ -173,22 +184,24 @@ object Clustering {
   /** In the converged star forest every edge is (member, center) with
     * center = component minimum; each node's cluster = min over its edges,
     * centers map to themselves. */
-  private def starsToClusters(e: DataFrame): DataFrame = {
+  private def starsToClusters(e: DataFrame, parts: Int): DataFrame = {
     val members = e.select(col("a").as("id"), col("b").as("cluster"))
     val centers = e.select(col("b").as("id"), col("b").as("cluster"))
     members.unionAll(centers)
+      .repartition(parts, col("id"))
       .groupBy("id")
       .agg(min("cluster").as("cluster"))
   }
 
-  private def connectedComponentsLoop(edges0: DataFrame, maxIter: Int): (DataFrame, Boolean) = {
+  private def connectedComponentsLoop(
+      edges0: DataFrame, maxIter: Int, parts: Int): (DataFrame, Boolean) = {
     var e = edges0
 
     var converged = false
     var iter = 0
     var prevSig: (Long, Long, Long) = (-1L, -1L, -1L)
     while (!converged && iter < maxIter) {
-      val ss = ccRound(e)
+      val ss = ccRound(e, parts)
         // LAZY checkpoint: the signature aggregation below is the action
         // that materializes it — one job per round instead of two (the
         // round count is diameter-bound, so per-round scheduler latency is
@@ -202,7 +215,7 @@ object Clustering {
       iter += 1
     }
 
-    (starsToClusters(e), converged)
+    (starsToClusters(e, parts), converged)
   }
 
   /** Result of a reliable-checkpoint CC run: the cluster table plus the
@@ -362,12 +375,13 @@ object Clustering {
 
     val nEdges = prevSig._1
     var computed = 0
-    // the final node-scale aggregation + its eager materialization stay
-    // INSIDE the right-sized scope — at a session width tuned for the
-    // scoring stage they would otherwise run as near-empty micro-tasks
-    val clusters = withRightSizedShuffle(spark, nEdges) {
+    // the final node-scale aggregation carries its own fixed width too —
+    // at a session width tuned for the scoring stage it would otherwise
+    // run as near-empty micro-tasks
+    val parts = rightSizedParts(spark, nEdges)
+    val clusters = {
       while (!converged && iter < maxIter) {
-        val (next, sig, conv) = commitRound(iter + 1, ccRound(e), Some(prevSig))
+        val (next, sig, conv) = commitRound(iter + 1, ccRound(e, parts), Some(prevSig))
         e = next; prevSig = sig; converged = conv
         iter += 1; computed += 1
       }
@@ -388,7 +402,7 @@ object Clustering {
       // still reference, turning an old handle into FileNotFoundException.
       // The table is node-scale (one row per id), so materializing it at
       // return is cheap at any corpus size.
-      starsToClusters(e).localCheckpoint(true)
+      starsToClusters(e, parts).localCheckpoint(true)
     }
     CcRun(clusters, resumedFrom, computed, converged)
   }

@@ -65,6 +65,7 @@ object SparkEntry {
     "er_block_profile" -> (ErQueries.erBlockProfile(_, _)),
     "er_scored_pairs" -> (ErQueries.erScoredPairs(_, _)),
     "er_clusters" -> (ErQueries.erClusters(_, _)),
+    "er_clusters_incr" -> (ErQueries.erClustersIncr(_, _)),
     "er_pairwise_eval" -> (ErQueries.erPairwiseEval(_, _)),
     // training-data pipeline operators (all oracle-gated; semantics also in specs)
     "dd_minhash_pairs" -> (TrainingDataQueries.ddMinhashPairs(_, _)),
@@ -76,6 +77,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (TrainingDataQueries.annIvfTopk(_, _)),
     "ta_langid" -> (TrainingDataQueries.taLangid(_, _)),
     "ta_quality" -> (TrainingDataQueries.taQuality(_, _)),
+    "ta_repetition" -> (TrainingDataQueries.taRepetition(_, _)),
     "ta_token_counts" -> (TrainingDataQueries.taTokenCounts(_, _)),
     "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
     "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
@@ -182,6 +184,11 @@ object SparkEntry {
     "er_scored_pairs" -> AuxOracles.erScoredPairsSql,
     "er_pairwise_eval" -> AuxOracles.erPairwiseEvalSql,
     "er_clusters" -> AuxOracles.erClustersSql,
+    // incremental maintenance must be EXACT: the oracle replays batch CC
+    // over the full edge union, so equality here proves the contracted
+    // incremental path merges precisely the same components
+    "er_clusters_incr" -> AuxOracles.erClustersSql,
+    "ta_repetition" -> AuxOracles.taRepetitionSql,
     "dd_survivors" -> AuxOracles.ddSurvivorsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
     "ann_ivf_topk" -> AuxOracles.annIvfTopkSql,

@@ -407,6 +407,82 @@ object Clustering {
     CcRun(clusters, resumedFrom, computed, converged)
   }
 
+  /** G7 (incremental maintenance): fold a NEW batch of match edges into a
+    * CONVERGED cluster assignment without re-clustering the old graph —
+    * the daily-crawl shape at corpus scale, where the standing assignment
+    * is node-scale (10^12 rows) and a batch is orders of magnitude
+    * smaller.
+    *
+    * `oldClusters`: DataFrame(id, cluster) whose labels are component
+    * MINIMA — the invariant every CC entry point here guarantees.
+    * `newEdges`: DataFrame(a, b). Returns (id, cluster) for the union
+    * graph (old ids plus new-edge endpoints), identical to running batch
+    * CC over (old edges ∪ new edges) — see IncrementalSpec's property
+    * tests.
+    *
+    * Why it is exact: contracting every old component to its label
+    * preserves connectivity between representatives (each old component
+    * is connected, and every new edge lies between representatives after
+    * the endpoint mapping), so CC over the contracted graph merges
+    * exactly the components the union graph merges; and because old
+    * labels are component minima, the min-label CC over {old labels ∪
+    * brand-new ids} yields the min member id of each merged component —
+    * the same label batch CC assigns.
+    *
+    * The plan never shuffles the node-scale assignment: batch endpoints
+    * are broadcast INTO a narrow scan of `oldClusters` (inner join,
+    * batch-side build) to pull the touched rows; contraction and
+    * relabeling then join the (small) touched/relabel tables back as
+    * broadcasts, so the only node-scale work is two narrow passes over
+    * the assignment table (probe + relabel) — no wide exchange at any
+    * width. Everything else is batch-scale. The broadcasts assume the
+    * batch ≪ corpus (the incremental premise); for a batch approaching
+    * corpus scale, re-run batch [[connectedComponents]] on the edge union
+    * instead — the crossover is roughly where the batch no longer fits a
+    * broadcast. */
+  def incrementalClusters(
+      spark: SparkSession,
+      oldClusters: DataFrame,
+      newEdges: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val oc = oldClusters.select(col("id").cast("long"), col("cluster").cast("long"))
+    val e = newEdges
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .where(col("a") =!= col("b"))
+    val endpoints = e
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+    // touched old rows: ONE narrow scan of the node-scale table probing
+    // the broadcast batch ids; eagerly truncated (it is batch-scale) so
+    // the three consumers below don't re-scan the assignment table
+    val touched = oc.join(broadcast(endpoints), Seq("id"))
+      .localCheckpoint(true)
+    val contracted = e
+      .join(broadcast(touched.select(col("id").as("a"), col("cluster").as("ca"))), Seq("a"), "left")
+      .join(broadcast(touched.select(col("id").as("b"), col("cluster").as("cb"))), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"), coalesce(col("cb"), col("b")).as("b"))
+    // CC over representatives only: edge volume = batch, node volume =
+    // touched clusters + brand-new ids (self-loops from within-cluster
+    // batch edges drop in normalizeEdges)
+    val cc = connectedComponents(spark, contracted, checkpointDir = checkpointDir)
+    // old ids relabel through their representative (touched-scale
+    // broadcast against the second narrow assignment pass); untouched
+    // components keep their label
+    val oldPart = oc
+      .join(broadcast(cc.select(col("id").as("cluster"), col("cluster").as("merged"))),
+        Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("merged"), col("cluster")).as("cluster"))
+    // ids first seen in this batch: label from the contracted CC (their
+    // contracted node IS the id); a batch id whose edges all collapsed
+    // to self-loops cannot exist (it would need an old assignment row),
+    // but coalesce keeps the plan total anyway
+    val newPart = endpoints
+      .join(touched.select("id"), Seq("id"), "left_anti")
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    oldPart.unionAll(newPart)
+  }
+
   /** Cluster assignment for every mention id in `ids` (singletons become
     * their own cluster). ids: DataFrame(id BIGINT). `checkpointDir` as in
     * [[connectedComponents]]: Some(dir) = reliable, resumable rounds. */

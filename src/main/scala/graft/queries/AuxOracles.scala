@@ -186,6 +186,39 @@ object AuxOracles {
       |    - 0.3 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END))) AS quality
       |FROM m""".stripMargin
 
+  /** Repetition-counter replay: the engine's per-row sorted-run folds
+    * (top bigram/trigram count, duplicated-5-gram occurrences) re-derived
+    * relationally — unnest the n-grams, group-count, max / filtered-sum
+    * per doc. All integers, so the hash compare is exact. */
+  val taRepetitionSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b2 AS (SELECT doc_id, ng, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
+      |               toks[i] || ' ' || toks[i+1])) AS ng FROM d)
+      |       GROUP BY doc_id, ng),
+      |b3 AS (SELECT doc_id, ng, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i ->
+      |               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ng FROM d)
+      |       GROUP BY doc_id, ng),
+      |b5 AS (SELECT doc_id, ng, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), i ->
+      |               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |               toks[i+3] || ' ' || toks[i+4])) AS ng FROM d)
+      |       GROUP BY doc_id, ng),
+      |t2 AS (SELECT doc_id, max(c) AS top2 FROM b2 GROUP BY doc_id),
+      |t3 AS (SELECT doc_id, max(c) AS top3 FROM b3 GROUP BY doc_id),
+      |d5 AS (SELECT doc_id, sum(c) FILTER (WHERE c > 1) AS dup5 FROM b5 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(t2.top2, 0) AS BIGINT) AS top_bigram_n,
+      |  CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_trigrams,
+      |  CAST(coalesce(t3.top3, 0) AS BIGINT) AS top_trigram_n,
+      |  CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_5grams,
+      |  CAST(coalesce(d5.dup5, 0) AS BIGINT) AS dup_5gram_n
+      |FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+      |LEFT JOIN d5 USING (doc_id)""".stripMargin
+
   /** Pair-universe replay: the self-join on the dumped SUB-BUCKETED
     * blocking relation reproduces the engine's candidate pairs exactly
     * (the skew sub-bucketing already happened upstream of the dump), and

@@ -208,6 +208,25 @@ object ErQueries {
   def erClusters(spark: SparkSession, dir: String): DataFrame =
     shared(spark, dir).clusters
 
+  /** G7 surfaced as a catalog query: split the session's match edges
+    * deterministically into a 3/4 "standing" graph and a 1/4 "new batch"
+    * (xxhash64 of the pair — partition-invariant), cluster the standing
+    * graph, then fold the batch in with
+    * [[graft.er.Clustering.incrementalClusters]]. The result must be
+    * IDENTICAL to `er_clusters` (incremental maintenance is exact), so
+    * the DuckDB oracle replays full-graph CC over the union — a
+    * non-circular gate on the incremental path. */
+  def erClustersIncr(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shared(spark, dir)
+    val edges = sh.scoredPairs.where(col("is_match")).select(col("a"), col("b"))
+    val isNew = pmod(xxhash64(col("a"), col("b")), lit(4)) === 0
+    val standing = Clustering.assign(
+      spark,
+      sh.mentions.select(col("mention_id").as("id")),
+      edges.where(!isNew))
+    Clustering.incrementalClusters(spark, standing, edges.where(isNew))
+  }
+
   /** One-row pairwise eval — the headline metric (F1 vs gold clusters).
     * Derived entirely from the shared scored-pair universe and cluster
     * assignment (no recompute; PairEval.runPipeline remains the standalone

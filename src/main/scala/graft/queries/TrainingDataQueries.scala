@@ -122,6 +122,16 @@ object TrainingDataQueries {
       TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
       TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
 
+  /** Gopher-style repetition counters per document (exact integers — see
+    * TextAnalysis.repetitionColumns); the oracle re-derives every counter
+    * relationally in DuckDB (unnest n-grams → group counts). */
+  def taRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    TextAnalysis.repetitionColumns(col("text"))
+      .foldLeft(base) { case (d, (name, c)) => d.withColumn(name, c) }
+      .drop("text")
+  }
+
   def taFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),

@@ -74,18 +74,8 @@ object TextAnalysis {
       // 10k comparisons instead of the distinct×n ~10⁸ of the naive
       // per-distinct-token filter (round-3 verdict item 2); same value,
       // still whole-stage-codegen'd
-      val maxRun = aggregate(
-        array_sort(toks),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, t) => {
-          val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
-            .otherwise(lit(1L))
-          struct(t.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
       when(nTok === 0, lit(0.0))
-        .otherwise(maxRun.cast("double") / nTok)
+        .otherwise(sortedMaxRun(array_sort(toks)).cast("double") / nTok)
     }
     val meanWordLen = when(nTok === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0.0d), (s, t) => s + length(t).cast("double")) / nTok)
@@ -111,6 +101,77 @@ object TextAnalysis {
 
   def withQuality(df: DataFrame, textCol: String): DataFrame =
     qualityColumns(col(textCol)).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  // ---------- repetition signals (Gopher-style n-gram counters) ---------------
+
+  /** Longest equal-run length in a SORTED array — the count of the most
+    * frequent element — as one linear codegen'd fold (0 for empty). */
+  private[text] def sortedMaxRun(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Total occurrences of elements that appear MORE THAN ONCE in a SORTED
+    * array (the "duplicated n-gram" numerator): array length minus the
+    * number of singleton runs, counted in the same linear fold shape. */
+  private[text] def sortedDupOccurrences(sorted: Column): Column = {
+    val singles = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("singles")),
+      (acc, t) => {
+        val cont = t === acc.getField("prev")
+        struct(
+          t.as("prev"),
+          when(cont, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(cont, acc.getField("singles"))
+            .otherwise(acc.getField("singles") +
+              when(acc.getField("run") === 1L, 1L).otherwise(0L)).as("singles"))
+      },
+      // close the final run (an empty array leaves run = 0 → adds nothing)
+      acc => acc.getField("singles") +
+        when(acc.getField("run") === 1L, 1L).otherwise(0L))
+    size(sorted).cast("long") - singles
+  }
+
+  /** Word n-grams (space-joined) as an array column; empty when the doc
+    * has fewer than n tokens. Built from sequence/transform/element_at —
+    * narrow and codegen'd, no explode and no shuffle. */
+  private[text] def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+
+  /** Gopher-style repetition counters (Rae et al. 2021, the "repetition"
+    * quality-filter family): occurrence count of the most frequent word
+    * bigram / trigram and the total occurrences of duplicated 5-grams,
+    * emitted as EXACT integer numerators with their denominators so the
+    * DuckDB hash gate compares without float drift (callers derive the
+    * published ratios top_ngram_share = top_n / n_ngrams and
+    * dup_ngram_frac = dup_n / n_ngrams). Tokenization is the corpus
+    * convention (single space — the q15 tier). Each counter is a per-row
+    * sorted-run fold over an in-row n-gram array: map-side, shuffle-free,
+    * one whole-stage-codegen span — at 100 TB this is a pure scan. */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val bi = array_sort(wordNgrams(toks, 2))
+    val tri = array_sort(wordNgrams(toks, 3))
+    val five = array_sort(wordNgrams(toks, 5))
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "n_bigrams" -> size(bi).cast("long"),
+      "top_bigram_n" -> sortedMaxRun(bi),
+      "n_trigrams" -> size(tri).cast("long"),
+      "top_trigram_n" -> sortedMaxRun(tri),
+      "n_5grams" -> size(five).cast("long"),
+      "dup_5gram_n" -> sortedDupOccurrences(five))
+  }
 
   // ---------- token counting ---------------------------------------------------
 

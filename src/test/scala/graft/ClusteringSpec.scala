@@ -180,4 +180,66 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(r1 == r2)
   }
+
+  // ---- G7 incremental maintenance -----------------------------------------
+
+  /** Batch-CC reference for the union graph over a universe of ids:
+    * singletons keep themselves. */
+  private def batchAssign(ids: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val cc = ufComponents(edges)
+    ids.map(i => i -> cc.getOrElse(i, i)).toMap
+  }
+
+  private def runIncremental(
+      ids: Seq[Long], oldEdges: Seq[(Long, Long)], newEdges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val standing = Clustering.assign(
+      spark, ids.toDF("id"),
+      if (oldEdges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b") else oldEdges.toDF("a", "b"))
+    val batch =
+      if (newEdges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b") else newEdges.toDF("a", "b")
+    Clustering.incrementalClusters(spark, standing, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental CC: merging two standing clusters and linking brand-new ids is exact") {
+    // standing: {1,2,3} and {10,11}, singleton 20; batch merges the two
+    // clusters (3-10), hangs a brand-new chain (30-31, 31-10), and adds a
+    // brand-new isolated pair (40-41)
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L)
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val newE = Seq((3L, 10L), (30L, 31L), (31L, 10L), (40L, 41L))
+    val got = runIncremental(ids, oldE, newE)
+    assert(got == batchAssign(ids ++ Seq(30L, 31L, 40L, 41L), oldE ++ newE))
+    assert(got(11L) == 1L && got(31L) == 1L && got(20L) == 20L && got(41L) == 40L)
+  }
+
+  test("incremental CC: empty batch and within-cluster batch edges are no-ops") {
+    val ids = Seq(1L, 2L, 3L, 7L)
+    val oldE = Seq((1L, 2L), (2L, 3L))
+    assert(runIncremental(ids, oldE, Seq.empty) == batchAssign(ids, oldE))
+    // batch edges that collapse to self-loops after contraction
+    assert(runIncremental(ids, oldE, Seq((1L, 3L), (2L, 3L))) == batchAssign(ids, oldE))
+  }
+
+  test("property: incremental CC equals batch CC on random graphs and random splits (seeded)") {
+    val rng = new scala.util.Random(4242)
+    (0 until 6).foreach { round =>
+      val n = 5 + rng.nextInt(60)
+      val m = 1 + rng.nextInt(120)
+      val all = (0 until m).flatMap { _ =>
+        val a = rng.nextLong(n.toLong + 1)
+        val b = rng.nextLong(n.toLong + 1)
+        if (a != b) Some((a, b)) else None
+      }
+      if (all.nonEmpty) {
+        val (oldE, newE) = all.partition(_ => rng.nextDouble() < 0.7)
+        // the standing universe: ids of the OLD graph only — new-edge
+        // endpoints may be brand-new, exactly the crawl-increment shape
+        val ids = (oldE.flatMap(e => Seq(e._1, e._2)) ++ Seq(0L)).distinct
+        val want = batchAssign((ids ++ newE.flatMap(e => Seq(e._1, e._2))).distinct, oldE ++ newE)
+        assert(runIncremental(ids, oldE, newE) == want, s"round $round: old=$oldE new=$newE")
+      }
+    }
+  }
 }

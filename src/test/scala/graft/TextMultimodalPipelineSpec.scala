@@ -36,6 +36,29 @@ class TextMultimodalPipelineSpec extends AnyFunSuite {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("repetition counters: hand-computed n-gram fixture + degenerate docs") {
+    val df = Seq(
+      // "a b a b a b": bigrams [ab,ba,ab,ba,ab] → top2=3; trigrams
+      // [aba,bab,aba,bab] → top3=2; 5-grams [ababa, babab] → no dups
+      (1L, "a b a b a b"),
+      // 12×"x": top bigram "x x" ×11, all 8 5-grams identical → dup5=8
+      (2L, "x x x x x x x x x x x x"),
+      // fewer than 5 tokens: 5-gram tier empty, bigrams still counted
+      (3L, "p q p"),
+      // single token: every n-gram tier empty
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionColumns(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .select("doc_id", "n_tokens", "n_bigrams", "top_bigram_n",
+        "n_trigrams", "top_trigram_n", "n_5grams", "dup_5gram_n")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got(1L) == ((6L, 5L, 3L, 4L, 2L, 2L, 0L)))
+    assert(got(2L) == ((12L, 11L, 11L, 10L, 10L, 8L, 8L)))
+    assert(got(3L) == ((3L, 2L, 1L, 1L, 1L, 0L, 0L)))
+    assert(got(4L) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("token counting: whitespace and BPE-ish") {
     val df = Seq((1L, "hello world, this is fine")).toDF("id", "text")
     val r = df.select(

@@ -417,8 +417,8 @@ object Clustering {
     * MINIMA — the invariant every CC entry point here guarantees.
     * `newEdges`: DataFrame(a, b). Returns (id, cluster) for the union
     * graph (old ids plus new-edge endpoints), identical to running batch
-    * CC over (old edges ∪ new edges) — see IncrementalSpec's property
-    * tests.
+    * CC over (old edges ∪ new edges) — see ClusteringSpec's incremental
+    * property tests and PlanAuditSpec's broadcast-only plan pin.
     *
     * Why it is exact: contracting every old component to its label
     * preserves connectivity between representatives (each old component
@@ -476,9 +476,13 @@ object Clustering {
     // contracted node IS the id); a batch id whose edges all collapsed
     // to self-loops cannot exist (it would need an old assignment row),
     // but coalesce keeps the plan total anyway
+    // every side here is batch-scale, but hint anyway: without stats the
+    // planner falls back to sort-merge, and these two joins sit in the
+    // same stage as the assignment union — keep the whole relabel plan
+    // exchange-free (PlanAuditSpec pins broadcast-only)
     val newPart = endpoints
-      .join(touched.select("id"), Seq("id"), "left_anti")
-      .join(cc, Seq("id"), "left")
+      .join(broadcast(touched.select("id")), Seq("id"), "left_anti")
+      .join(broadcast(cc), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     oldPart.unionAll(newPart)
   }

@@ -174,6 +174,122 @@ object Streaming {
       .toDF("id_a", "id_b", "est_jaccard")
   }
 
+  /** Streaming CLUSTER MAINTENANCE — the streaming twin of G7
+    * ([[graft.er.Clustering.incrementalClusters]]): match edges stream in
+    * (e.g. from [[streamingMinhashPairs]] or a streaming scorer) and every
+    * micro-batch is folded into a standing (id, cluster) assignment kept
+    * as Parquet state-at-rest under `stateDir`.
+    *
+    * Why foreachBatch and not the state store: connected components is a
+    * global fixpoint, not a per-key fold — `mapGroupsWithState` cannot
+    * express a merge that spans keys, so the engine-sanctioned shape is a
+    * micro-batch sink that runs the batch-scale contracted CC and
+    * rewrites the assignment via incrementalClusters' two narrow passes.
+    *
+    * Exactness and recovery:
+    *   - After every batch the standing assignment equals batch CC over
+    *     ALL edges seen so far (induction over incrementalClusters'
+    *     min-label proof; StreamingSpec checks two-wave == batch).
+    *   - Versions are keyed by Structured Streaming's `batchId`, so a
+    *     replayed batch (crash between sink commit and offset-log commit)
+    *     is detected via the `_LATEST` pointer and skipped — the fold is
+    *     also idempotent by CC semantics (already-merged edges collapse to
+    *     self-loops), so even a missed skip cannot corrupt state.
+    *   - `_LATEST` is temp-file + rename (same protocol as the CC round
+    *     manifests); a crash between the version write and the pointer
+    *     rename leaves `_LATEST` on the previous version, which is why the
+    *     previous version dir is retained and only OLDER ones are pruned.
+    *
+    * Scale shape: per micro-batch cost = batch-scale CC + one narrow read
+    * + one narrow write of the node-scale assignment (the broadcast-probe
+    * relabel — no wide exchange at assignment scale, see PlanAuditSpec).
+    * The full rewrite per batch is the compaction tradeoff: at 10^12
+    * nodes, amortize by lengthening the trigger interval, or partition the
+    * assignment by id range and rewrite only touched ranges (the standard
+    * refinement; not needed at this catalog's scale). */
+  def streamingClusters(
+      edges: DataFrame,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldClusterBatch(batch.toDF(), stateDir, batchId))
+      .start()
+
+  /** One G7 fold: apply a micro-batch of (a, b) match edges to the
+    * standing assignment under `stateDir`. Public so a batch backfill job
+    * can reuse the exact streaming commit protocol. */
+  def foldClusterBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root0 = new Path(stateDir)
+    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(root0)
+    val latestPath = new Path(root, "_LATEST")
+    def versionPath(v: Long) = new Path(root, f"v_$v%012d")
+    def readLatest(): Option[Long] =
+      try {
+        val in = fs.open(latestPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(txt.trim.toLong)
+      } catch { case _: Exception => None }
+
+    val prev = readLatest()
+    // replayed or out-of-order batch: already folded — reading and
+    // overwriting the SAME version dir would race, so skip instead
+    if (prev.exists(_ >= batchId)) return
+    val e = batch.select(col("a").cast("long"), col("b").cast("long"))
+    if (e.isEmpty) return
+    val updated = prev match {
+      case None =>
+        // first batch: plain batch CC; the id universe is the batch's own
+        // endpoints (the standing universe grows with each batch's edges)
+        graft.er.Clustering.assign(
+          spark, e.select(explode(array(col("a"), col("b"))).as("id")).distinct(), e)
+      case Some(v) =>
+        graft.er.Clustering.incrementalClusters(
+          spark, spark.read.parquet(versionPath(v).toString), e)
+    }
+    updated.write.mode("overwrite").parquet(versionPath(batchId).toString)
+    val tmp = new Path(root, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(latestPath, false)
+    if (!fs.rename(tmp, latestPath))
+      throw new java.io.IOException(s"rename failed for $latestPath")
+    // prune versions older than the PREVIOUS one (kept as the recovery
+    // target for a crash before the pointer rename)
+    val keep = Set(batchId) ++ prev
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("v_") && !keep.contains(n.drop(2).toLong))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The standing assignment a [[streamingClusters]] query has built so
+    * far (empty two-column frame before the first fold). */
+  def currentClusters(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root0 = new Path(stateDir)
+    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(root0)
+    val v =
+      try {
+        val in = fs.open(new Path(root, "_LATEST"))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(txt.trim.toLong)
+      } catch { case _: Exception => None }
+    v match {
+      case Some(ver) => spark.read.parquet(new Path(root, f"v_$ver%012d").toString)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("id", LongType), StructField("cluster", LongType))))
+    }
+  }
+
   val counterRowSchema: StructType = StructType(Seq(
     StructField("mode", StringType),
     StructField("category", StringType),

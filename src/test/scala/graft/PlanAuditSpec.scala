@@ -288,4 +288,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(readSchema.contains("text") && !readSchema.contains("lang"),
       s"q8 should read only text: $readSchema")
   }
+
+  test("incremental CC never wide-shuffles the node-scale assignment (all joins broadcast)") {
+    import spark.implicits._
+    // standing assignment with min-label invariant: pairs (2k, 2k+1) -> 2k
+    val standing = spark.range(0, 10000)
+      .select(col("id"), (col("id") - col("id") % 2).as("cluster"))
+    val batch = Seq((1L, 2L), (5L, 9998L), (20001L, 3L)).toDF("a", "b")
+    val p = plan(graft.er.Clustering.incrementalClusters(spark, standing, batch))
+    // the contracted-graph CC is materialized inside the call; the
+    // surviving relabel plan touches the assignment table twice, both
+    // times probing a broadcast batch-side build — any sort-merge or
+    // shuffled-hash join here means the 10^12-row assignment got a wide
+    // exchange at scale
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast relabel joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"assignment-scale wide join in incremental CC plan:\n$p")
+  }
 }

@@ -194,4 +194,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(("IGNORED", "all")) == ((3L, 1L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming cluster maintenance: two-wave fold equals batch CC; replay is a no-op") {
+    import spark.implicits._
+    val edgesDir = Files.createTempDirectory("cc_stream_edges").toString
+    val stateDir = Files.createTempDirectory("cc_stream_state").toString
+    val ckptDir = Files.createTempDirectory("cc_stream_ckpt").toString
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType)))
+    // wave 1 (batch 0): clusters {1,2,3} and {10,11}
+    val wave1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    // wave 2 (batch 1): merges them via 3-10, adds brand-new pair {40,41}
+    val wave2 = Seq((3L, 10L), (40L, 41L))
+    wave1.toDF("a", "b").coalesce(1).write.mode("append").parquet(edgesDir)
+    val input = spark.readStream.schema(edgeSchema)
+      .option("maxFilesPerTrigger", "1").parquet(edgesDir)
+    val q = Streaming.streamingClusters(input, stateDir, ckptDir)
+    try {
+      q.processAllAvailable()
+      val mid = Streaming.currentClusters(spark, stateDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mid == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      wave2.toDF("a", "b").coalesce(1).write.mode("append").parquet(edgesDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Streaming.currentClusters(spark, stateDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: batch CC over the union, through the independent batch path
+    val union = (wave1 ++ wave2).toDF("a", "b")
+    val ids = union.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.array($"a", $"b")).as("id")).distinct()
+    val want = graft.er.Clustering.assign(spark, ids, union)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got(11L) == 1L && got(41L) == 40L)
+    // replayed batch id (crash between sink commit and offset commit):
+    // the fold must skip — state bytes unchanged
+    Streaming.foldClusterBatch(Seq((40L, 999L)).toDF("a", "b"), stateDir, 1L)
+    val after = Streaming.currentClusters(spark, stateDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == want, "replayed batchId must not refold")
+    // pruning: at most current + previous version dirs remain
+    val vDirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v_"))
+    assert(vDirs.length <= 2, s"stale versions not pruned: ${vDirs.mkString(",")}")
+  }
 }

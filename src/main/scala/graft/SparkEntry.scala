@@ -78,6 +78,7 @@ object SparkEntry {
     "ta_langid" -> (TrainingDataQueries.taLangid(_, _)),
     "ta_quality" -> (TrainingDataQueries.taQuality(_, _)),
     "ta_repetition" -> (TrainingDataQueries.taRepetition(_, _)),
+    "ta_source_cap" -> (TrainingDataQueries.taSourceCap(_, _)),
     "ta_token_counts" -> (TrainingDataQueries.taTokenCounts(_, _)),
     "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
     "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
@@ -189,6 +190,7 @@ object SparkEntry {
     // incremental path merges precisely the same components
     "er_clusters_incr" -> AuxOracles.erClustersSql,
     "ta_repetition" -> AuxOracles.taRepetitionSql,
+    "ta_source_cap" -> AuxOracles.taSourceCapSql,
     "dd_survivors" -> AuxOracles.ddSurvivorsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
     "ann_ivf_topk" -> AuxOracles.annIvfTopkSql,

@@ -1,0 +1,103 @@
+package graft.curate
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.synth.Synth
+
+/** Per-source document caps — the C4/Gopher/RefinedWeb-style curation rule
+  * "keep at most N documents per domain", with `source` playing the domain
+  * role. Membership is deterministic: documents are ranked inside each
+  * source by the unsigned order of `splitmix64(doc_id)` (a bijection on
+  * Long, so ranks are total and tie-free for distinct ids) and the N
+  * smallest are kept. Reranking by hash rather than position makes the
+  * kept set stable under re-crawls that merely reorder or append rows.
+  *
+  * Scale shape: the obvious plan — `row_number() OVER (PARTITION BY
+  * source ORDER BY hash)` — externally sorts every document of every
+  * source and straggles on mega-domains. This instead computes only the
+  * per-source *threshold* (the N-th smallest hash) with bounded state:
+  * a per-partition fold keeps the N smallest hashes per source seen in
+  * that partition (≤ N longs per (partition, source) — the hand-written
+  * map-side partial combine), a source-cardinality shuffle merges the
+  * ≤ partitions×N survivors per source, and a join tags every document
+  * `kept = hash ≤ threshold`. No document-scale sort, no window, shuffle
+  * volume ∝ distinct sources. The threshold join carries NO broadcast
+  * hint (the audit rule for corpus-derived tables: source cardinality
+  * grows with the corpus): AQE broadcasts it from runtime stats while it
+  * fits and falls back to a source-scale hash join beyond that — never a
+  * document-scale sort either way.
+  */
+object SourceCap extends Serializable {
+
+  /** Sign-flipped splitmix64, so SIGNED Long comparisons give the
+    * UNSIGNED order of the raw hash — the order the DuckDB oracle's
+    * HUGEINT replay uses. */
+  private[graft] def capKey(id: Long): Long =
+    Synth.splitmix64(id) ^ Long.MinValue
+
+  private val capKeyUdf = udf(capKey _)
+
+  /** (id, source, kept) for every input row; at most `n` kept per source
+    * (all of them when a source has ≤ n documents). */
+  def sourceCap(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val keyed = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(srcCol).as("source"),
+      capKeyUdf(col(idCol).cast("long")).as("h"))
+
+    val partial = partialMins(keyed, n)
+
+    // merge the ≤ partitions×n survivors per source; threshold = n-th
+    // smallest overall (= max survivor when the source has ≤ n docs)
+    val thresholds = partial.toDF("source", "h")
+      .groupBy($"source")
+      .agg(array_sort(collect_list($"h")).as("hs"))
+      .select(
+        $"source",
+        element_at($"hs", least(lit(n), size($"hs"))).as("thr"))
+
+    keyed.join(thresholds, Seq("source"))
+      .select(
+        $"id".as(idCol),
+        $"source".as(srcCol),
+        ($"h" <= $"thr").as("kept"))
+  }
+
+  /** Phase 1: the bounded partial combine — n smallest h per source per
+    * partition (`private[graft]` so the spec can assert its output is
+    * ≤ partitions × n rows per source). */
+  private[graft] def partialMins(
+      keyed: DataFrame, n: Int): Dataset[(String, Long)] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    keyed
+      .select($"source", $"h").as[(String, Long)]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        val len = scala.collection.mutable.HashMap.empty[String, Int]
+        it.foreach { case (src, h) =>
+          val arr = acc.getOrElseUpdate(src, Array.fill(n)(Long.MaxValue))
+          val m = len.getOrElse(src, 0)
+          if (m < n) { arr(m) = h; len(src) = m + 1 }
+          else {
+            // replace the current worst if h beats it (n is small; O(n) scan)
+            var worst = 0; var i = 1
+            while (i < n) { if (arr(i) > arr(worst)) worst = i; i += 1 }
+            if (h < arr(worst)) arr(worst) = h
+          }
+        }
+        acc.iterator.flatMap { case (src, arr) =>
+          arr.take(len(src)).iterator.map(src -> _)
+        }
+      }
+  }
+}

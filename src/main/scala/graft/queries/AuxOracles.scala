@@ -219,6 +219,18 @@ object AuxOracles {
       |FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
       |LEFT JOIN d5 USING (doc_id)""".stripMargin
 
+  /** Per-source cap replay: splitmix64(doc_id) regenerated in SQL as
+    * HUGEINT limb arithmetic, kept = row_number ≤ 8 per source under the
+    * UNSIGNED hash order (the engine compares sign-flipped Longs — the
+    * identical order). splitmix64 is a bijection on the 64-bit domain and
+    * doc_ids are distinct, so the ranking is tie-free and the engine's
+    * threshold rule (h ≤ n-th smallest) equals rank ≤ n exactly. */
+  def taSourceCapSql: String =
+    s"""WITH h AS (SELECT doc_id, source, ${splitmixInline("doc_id")} AS z FROM documents),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source ORDER BY z) AS rnk FROM h)
+       |SELECT doc_id, source, rnk <= 8 AS kept FROM r""".stripMargin
+
   /** Pair-universe replay: the self-join on the dumped SUB-BUCKETED
     * blocking relation reproduces the engine's candidate pairs exactly
     * (the skew sub-bucketing already happened upstream of the dump), and

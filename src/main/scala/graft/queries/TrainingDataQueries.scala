@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.curate.SourceCap
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Ann
@@ -131,6 +132,13 @@ object TrainingDataQueries {
       .foldLeft(base) { case (d, (name, c)) => d.withColumn(name, c) }
       .drop("text")
   }
+
+  /** C4/RefinedWeb-style per-source document cap: keep the 8
+    * hash-smallest documents of each source (all of them when a source
+    * has ≤ 8). Threshold-based, window-free plan — see
+    * [[graft.curate.SourceCap.sourceCap]] for the scale shape. */
+  def taSourceCap(spark: SparkSession, dir: String): DataFrame =
+    SourceCap.sourceCap(docs(spark, dir), n = 8)
 
   def taFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

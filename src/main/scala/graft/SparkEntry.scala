@@ -79,6 +79,7 @@ object SparkEntry {
     "ta_quality" -> (TrainingDataQueries.taQuality(_, _)),
     "ta_repetition" -> (TrainingDataQueries.taRepetition(_, _)),
     "ta_source_cap" -> (TrainingDataQueries.taSourceCap(_, _)),
+    "ta_gopher_filter" -> (TrainingDataQueries.taGopherFilter(_, _)),
     "ta_token_counts" -> (TrainingDataQueries.taTokenCounts(_, _)),
     "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
     "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
@@ -191,6 +192,7 @@ object SparkEntry {
     "er_clusters_incr" -> AuxOracles.erClustersSql,
     "ta_repetition" -> AuxOracles.taRepetitionSql,
     "ta_source_cap" -> AuxOracles.taSourceCapSql,
+    "ta_gopher_filter" -> AuxOracles.taGopherFilterSql,
     "dd_survivors" -> AuxOracles.ddSurvivorsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
     "ann_ivf_topk" -> AuxOracles.annIvfTopkSql,

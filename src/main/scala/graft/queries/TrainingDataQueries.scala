@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.curate.SourceCap
+import graft.curate.{GopherFilter, SourceCap}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Ann
@@ -132,6 +132,12 @@ object TrainingDataQueries {
       .foldLeft(base) { case (d, (name, c)) => d.withColumn(name, c) }
       .drop("text")
   }
+
+  /** Gopher-style quality-filter decision table: per-doc keep/drop from
+    * length + mean-word-length + repetition rules, integer-exact — see
+    * [[graft.curate.GopherFilter.gopherFilter]]. */
+  def taGopherFilter(spark: SparkSession, dir: String): DataFrame =
+    GopherFilter.gopherFilter(docs(spark, dir))
 
   /** C4/RefinedWeb-style per-source document cap: keep the 8
     * hash-smallest documents of each source (all of them when a source

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.curate.GopherFilter
+import graft.curate.GopherFilter.Thresholds
+
+class GopherFilterSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], t: Thresholds = Thresholds()) = {
+    val df = rows.map { case (id, text) => (id, text, text.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    GopherFilter.gopherFilter(df, t).collect()
+      .map(r => r.getLong(0) -> r).toMap
+  }
+
+  private def flags(r: Row): (Boolean, Boolean, Boolean, Boolean, Boolean, Boolean) =
+    (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+      r.getBoolean(6), r.getBoolean(7))
+
+  test("each rule fails on its planted fixture and only there") {
+    val okWords = (0 until 30).map(i => "word" + i) // distinct, len 5-6
+    val good = okWords.mkString(" ")
+    val short = "tiny doc here" // fails length
+    // every token one char → mean word length < 3
+    val thin = (0 until 30).map(_ => "a").mkString(" ")
+    // one bigram repeated: "x y x y ..." → top bigram share ~ 1/2
+    val biLoop = (0 until 15).flatMap(_ => Seq("xx", "yy")).mkString(" ") +
+      " " + okWords.take(2).mkString(" ")
+    // same 5-gram block repeated 6 times → duplicated-5-gram heavy
+    val fiveLoop = (0 until 6).flatMap(_ => Seq("p1", "p2", "p3", "p4", "p5"))
+      .mkString(" ")
+    val got = run(Seq(1L -> good, 2L -> short, 3L -> thin, 4L -> biLoop, 5L -> fiveLoop))
+
+    assert(flags(got(1L)) === ((true, true, true, true, true, true)), "good doc")
+    assert(!got(2L).getBoolean(2) && !got(2L).getBoolean(7), "short fails length")
+    assert(got(3L).getBoolean(2), "thin passes length")
+    assert(!got(3L).getBoolean(3) && !got(3L).getBoolean(7), "thin fails word_len")
+    assert(!got(4L).getBoolean(4) && !got(4L).getBoolean(7), "biLoop fails top_bigram")
+    assert(!got(5L).getBoolean(6) && !got(5L).getBoolean(7), "fiveLoop fails dup_5gram")
+  }
+
+  test("cross-multiplication boundary is exact (frac == pct keeps; one more drops)") {
+    // 100 bigrams total, top bigram exactly 20 occurrences → 20% == cap → keep
+    // 21 occurrences → drop. Build text with controlled bigram counts:
+    // "a b" repeated k times contributes interior bigrams too — instead
+    // interleave unique separators: "a b u1 a b u2 ..." gives bigram
+    // (a,b) k times among 3k-1 bigrams. Use thresholds to hit equality.
+    def doc(k: Int, fill: Int) = {
+      val rep = (0 until k).flatMap(i => Seq("a", "b", "u" + i))
+      val uniq = (0 until fill).map(i => "v" + i)
+      (rep ++ uniq).mkString(" ")
+    }
+    // k=7: bigram (a,b) ×7; tokens = 3*7+fill. Choose fill so n_bigrams = 35:
+    // n_bigrams = n_tokens-1 = 20+fill = 35 → fill=15; 7/35 = 20% exactly.
+    val atCap = doc(7, 15)
+    // one more (a,b): append "a b" → n_tokens 37+2... use k=8, n_bigrams
+    // = 24+fill-1; pick fill=15 → 38 bigrams, 8/38 > 20%.
+    val overCap = doc(8, 15)
+    val t = Thresholds(minTokens = 1, minMeanWordChars = 0, maxMeanWordChars = 100)
+    val got = run(Seq(1L -> atCap, 2L -> overCap), t)
+    assert(got(1L).getBoolean(4) && got(1L).getBoolean(7), "exactly 20% keeps")
+    assert(!got(2L).getBoolean(4) && !got(2L).getBoolean(7), "over 20% drops")
+  }
+
+  test("degenerate docs: empty-ish text passes n-gram rules vacuously") {
+    val t = Thresholds(minTokens = 0, minMeanWordChars = 0, maxMeanWordChars = 100)
+    val got = run(Seq(1L -> "solo"), t)
+    val (_, _, bi, tri, five, keep) = flags(got(1L))
+    assert(bi && tri && five && keep, "no n-grams → vacuous pass")
+  }
+}

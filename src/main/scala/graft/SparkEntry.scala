@@ -75,6 +75,7 @@ object SparkEntry {
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
     "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
     "ann_ivf_topk" -> (TrainingDataQueries.annIvfTopk(_, _)),
+    "ann_recall" -> (TrainingDataQueries.annRecall(_, _)),
     "ta_langid" -> (TrainingDataQueries.taLangid(_, _)),
     "ta_quality" -> (TrainingDataQueries.taQuality(_, _)),
     "ta_repetition" -> (TrainingDataQueries.taRepetition(_, _)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "er_clusters_incr" -> AuxOracles.erClustersSql,
     "ta_repetition" -> AuxOracles.taRepetitionSql,
     "ta_source_cap" -> AuxOracles.taSourceCapSql,
+    "ann_recall" -> AuxOracles.annRecallSql,
     "ta_gopher_filter" -> AuxOracles.taGopherFilterSql,
     "dd_survivors" -> AuxOracles.ddSurvivorsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,

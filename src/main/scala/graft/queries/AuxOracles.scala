@@ -245,6 +245,27 @@ object AuxOracles {
       |    AND (r.n_5grams = 0 OR r.dup_5gram_n * 100 <= r.n_5grams * 30)) AS keep
       |FROM reps r JOIN documents doc USING (doc_id)""".stripMargin
 
+  /** ANN recall replay: intersection of each approximate top-k with the
+    * brute-force floor, recomputed from the three dumped top-k tables.
+    * Non-circular: ann_brute_topk / ann_lsh_topk / ann_ivf_topk are each
+    * independently oracle-gated (bounded-heap, signature and Lloyd
+    * replays), so this derivation only trusts tables the gate already
+    * proved hash-exact. */
+  def annRecallSql: String =
+    """WITH b AS (SELECT query_id, nbr_id FROM '{OUT}/ann_brute_topk/*.parquet'),
+      |q AS (SELECT DISTINCT query_id FROM b),
+      |l AS (SELECT query_id, nbr_id FROM '{OUT}/ann_lsh_topk/*.parquet'),
+      |i AS (SELECT query_id, nbr_id FROM '{OUT}/ann_ivf_topk/*.parquet'),
+      |lm AS (SELECT query_id, count(*) AS m FROM l JOIN b USING (query_id, nbr_id) GROUP BY 1),
+      |im AS (SELECT query_id, count(*) AS m FROM i JOIN b USING (query_id, nbr_id) GROUP BY 1)
+      |SELECT 'lsh' AS method, q.query_id,
+      |  CAST(coalesce(lm.m, 0) AS BIGINT) AS n_matched, CAST(5 AS BIGINT) AS k
+      |FROM q LEFT JOIN lm USING (query_id)
+      |UNION ALL
+      |SELECT 'ivf' AS method, q.query_id,
+      |  CAST(coalesce(im.m, 0) AS BIGINT) AS n_matched, CAST(5 AS BIGINT) AS k
+      |FROM q LEFT JOIN im USING (query_id)""".stripMargin
+
   /** Per-source cap replay: splitmix64(doc_id) regenerated in SQL as
     * HUGEINT limb arithmetic, kept = row_number ≤ 8 per source under the
     * UNSIGNED hash order (the engine compares sign-flipped Longs — the

@@ -108,6 +108,24 @@ object TrainingDataQueries {
       nProbe = 4).drop("cosine")
   }
 
+  /** Recall@k of the approximate ANN tiers against the exact brute-force
+    * floor: per (method, query) the intersection size of the approximate
+    * and exact top-k neighbor sets, as exact integers (n_matched of k —
+    * callers derive recall = n_matched/k). The index-quality metric a
+    * pipeline watches when it trades the exact floor for the bucketed
+    * tiers. Oracle: DuckDB recomputes the intersection from the three
+    * dumped top-k tables — non-circular because each input is itself
+    * independently oracle-gated (signature/Lloyd replays). Scale: the
+    * top-k tables are queries×k rows; everything here is dimension-scale. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = annBruteTopk(spark, dir)
+    def tagged(approx: DataFrame, method: String): DataFrame =
+      Ann.recallCounts(approx, brute, k = 5)
+        .select(lit(method).as("method"), col("query_id"), col("n_matched"), col("k"))
+    tagged(annLshTopk(spark, dir), "lsh")
+      .unionByName(tagged(annIvfTopk(spark, dir), "ivf"))
+  }
+
   def taLangid(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),

@@ -337,4 +337,23 @@ object Ann extends Serializable {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cosine"))
   }
+
+  /** Recall@k tally of an approximate top-k table against the exact one:
+    * per query_id present in `exact`, n_matched = |approx ∩ exact| over
+    * the nbr_id sets, as exact integers (recall = n_matched / k). Both
+    * inputs are (query_id, …, nbr_id) tables as produced by the topK
+    * methods above — queries×k rows, so every join here is
+    * dimension-scale regardless of corpus size. */
+  def recallCounts(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val e = exact.select(col("query_id"), col("nbr_id"))
+    val m = approx.select(col("query_id"), col("nbr_id"))
+      .join(e, Seq("query_id", "nbr_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+    e.select(col("query_id")).distinct()
+      .join(m, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        lit(k.toLong).as("k"))
+  }
 }

@@ -254,6 +254,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("ANN recall tally: self-recall is k, disjoint is 0, partial counts exactly") {
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L))
+      .toDF("query_id", "rank", "nbr_id")
+    def tally(approx: org.apache.spark.sql.DataFrame) =
+      Ann.recallCounts(approx, exact, k = 3).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // identical table → full recall
+    assert(tally(exact) === Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L))))
+    // query 1 overlaps on 2 of 3 (ranks differ — order must not matter);
+    // query 2 is entirely disjoint but must still appear with 0
+    val approx = Seq((1L, 1, 12L), (1L, 2, 10L), (1L, 3, 99L),
+      (2L, 1, 90L), (2L, 2, 91L), (2L, 3, 92L))
+      .toDF("query_id", "rank", "nbr_id")
+    assert(tally(approx) === Map(1L -> ((2L, 3L)), 2L -> ((0L, 3L))))
+  }
+
   test("ANN brute-force per-partition top-k equals the windowed cross-join plan (ties, any partitioning)") {
     import org.apache.spark.sql.expressions.Window
     val rng = new scala.util.Random(21)

@@ -6,19 +6,48 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    val spark = session()
+    dump(spark, sfDir, outDir, None)
+    spark.stop()
+  }
+
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The ONE dump implementation behind both the full gate (names=None)
+    * and graft.tools.DumpQuery's targeted replays — per-query behavior
+    * (failure handling, signature release, `{OUT}` substitution) cannot
+    * drift between the real gate and a targeted run. */
+  private[graft] def dump(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      names: Option[Seq[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
-    (SparkEntry.queries ++ SparkEntry.auxDumps).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val all = SparkEntry.queries ++ SparkEntry.auxDumps
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      names match {
+        case Some(ns) =>
+          val unknown = ns.filterNot(all.contains)
+          require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+          ns.map(n => n -> all(n))
+        case None => all.toSeq
+      }
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        println(s"[verify] dumped $name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // dedup signature caches are per-dump scratch — release like Bench
@@ -34,6 +63,5 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

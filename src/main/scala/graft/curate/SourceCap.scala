@@ -65,11 +65,14 @@ object SourceCap extends Serializable {
         $"source",
         element_at($"hs", least(lit(n), size($"hs"))).as("thr"))
 
-    keyed.join(thresholds, Seq("source"))
+    // null-safe equality: a NULL source is one group (matching the
+    // groupBy above and SQL PARTITION BY semantics) — a plain equi-join
+    // would silently drop every NULL-source row from the output
+    keyed.join(thresholds, keyed("source") <=> thresholds("source"))
       .select(
-        $"id".as(idCol),
-        $"source".as(srcCol),
-        ($"h" <= $"thr").as("kept"))
+        keyed("id").as(idCol),
+        keyed("source").as(srcCol),
+        (keyed("h") <= thresholds("thr")).as("kept"))
   }
 
   /** Phase 1: the bounded partial combine — n smallest h per source per

@@ -229,21 +229,24 @@ object AuxOracles {
   /** Gopher decision-table replay: the identical integer
     * cross-multiplication rules over the shared repetition CTEs plus the
     * documents.n_chars length column — booleans only, hash-exact. The
-    * threshold constants mirror GopherFilter.Thresholds() defaults. */
-  def taGopherFilterSql: String =
+    * thresholds are interpolated from GopherFilter.Thresholds() itself
+    * (one source of truth — a retune cannot silently desynchronize the
+    * oracle), and `keep` reuses the rule columns via DuckDB lateral
+    * column aliases. */
+  def taGopherFilterSql: String = {
+    val t = graft.curate.GopherFilter.Thresholds()
     s"""WITH $repetitionCtes
       |SELECT r.doc_id, r.n_tokens,
-      |  (r.n_tokens >= 25 AND r.n_tokens <= 100000) AS length_ok,
-      |  (3 * r.n_tokens <= doc.n_chars AND doc.n_chars <= 12 * r.n_tokens) AS word_len_ok,
-      |  (r.n_bigrams = 0 OR r.top_bigram_n * 100 <= r.n_bigrams * 20) AS top_bigram_ok,
-      |  (r.n_trigrams = 0 OR r.top_trigram_n * 100 <= r.n_trigrams * 18) AS top_trigram_ok,
-      |  (r.n_5grams = 0 OR r.dup_5gram_n * 100 <= r.n_5grams * 30) AS dup_5gram_ok,
-      |  ((r.n_tokens >= 25 AND r.n_tokens <= 100000)
-      |    AND (3 * r.n_tokens <= doc.n_chars AND doc.n_chars <= 12 * r.n_tokens)
-      |    AND (r.n_bigrams = 0 OR r.top_bigram_n * 100 <= r.n_bigrams * 20)
-      |    AND (r.n_trigrams = 0 OR r.top_trigram_n * 100 <= r.n_trigrams * 18)
-      |    AND (r.n_5grams = 0 OR r.dup_5gram_n * 100 <= r.n_5grams * 30)) AS keep
+      |  (r.n_tokens >= ${t.minTokens} AND r.n_tokens <= ${t.maxTokens}) AS length_ok,
+      |  (${t.minMeanWordChars} * r.n_tokens <= doc.n_chars
+      |    AND doc.n_chars <= ${t.maxMeanWordChars} * r.n_tokens) AS word_len_ok,
+      |  (r.n_bigrams = 0 OR r.top_bigram_n * 100 <= r.n_bigrams * ${t.topBigramPct}) AS top_bigram_ok,
+      |  (r.n_trigrams = 0 OR r.top_trigram_n * 100 <= r.n_trigrams * ${t.topTrigramPct}) AS top_trigram_ok,
+      |  (r.n_5grams = 0 OR r.dup_5gram_n * 100 <= r.n_5grams * ${t.dup5gramPct}) AS dup_5gram_ok,
+      |  (length_ok AND word_len_ok AND top_bigram_ok
+      |    AND top_trigram_ok AND dup_5gram_ok) AS keep
       |FROM reps r JOIN documents doc USING (doc_id)""".stripMargin
+  }
 
   /** ANN recall replay: intersection of each approximate top-k with the
     * brute-force floor, recomputed from the three dumped top-k tables.

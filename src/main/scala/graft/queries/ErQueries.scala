@@ -111,18 +111,39 @@ object ErQueries {
       * build cost for the same reason — so the session memo makes the
       * measured er_clusters_incr cost the incremental fold itself, not
       * the one-time setup of the simulated standing world. */
-    lazy val standingClusters: DataFrame =
-      Clustering.assign(
-        spark,
-        mentions.select(col("mention_id").as("id")),
-        scoredPairs.where(col("is_match") && !incrIsNewEdge)
-          .select(col("a"), col("b")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    private val standingRef =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+    def standingClusters: DataFrame = {
+      val cur = standingRef.get()
+      if (cur != null) cur
+      else this.synchronized {
+        val again = standingRef.get()
+        if (again != null) again
+        else {
+          // NOT a lazy val: Clustering.assign runs its CC loop EAGERLY
+          // (unlike every other stage here, which is plan metadata until
+          // an action), so unpersistAll must be able to skip a
+          // never-built assignment without triggering the build
+          val built = Clustering.assign(
+            spark,
+            mentions.select(col("mention_id").as("id")),
+            scoredPairs.where(col("is_match") && !incrIsNewEdge)
+              .select(col("a"), col("b")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          standingRef.set(built)
+          built
+        }
+      }
+    }
 
     /** Release every persisted stage (safe on never-materialized stages —
-      * persist() is plan metadata until an action runs). */
+      * persist() is plan metadata until an action runs, and the one eager
+      * stage, standingClusters, is guarded by its materialization ref). */
     def unpersistAll(): Unit = {
-      try standingClusters.unpersist(false) catch { case _: Throwable => () }
+      Option(standingRef.getAndSet(null)).foreach { c =>
+        try c.unpersist(false) catch { case _: Throwable => () }
+      }
       try blockProfile.unpersist(false) catch { case _: Throwable => () }
       clustersByMode.values().forEach { c =>
         try c.unpersist(false) catch { case _: Throwable => () }
@@ -224,14 +245,6 @@ object ErQueries {
   def erClusters(spark: SparkSession, dir: String): DataFrame =
     shared(spark, dir).clusters
 
-  /** G7 surfaced as a catalog query: split the session's match edges
-    * deterministically into a 3/4 "standing" graph and a 1/4 "new batch"
-    * (xxhash64 of the pair — partition-invariant), cluster the standing
-    * graph, then fold the batch in with
-    * [[graft.er.Clustering.incrementalClusters]]. The result must be
-    * IDENTICAL to `er_clusters` (incremental maintenance is exact), so
-    * the DuckDB oracle replays full-graph CC over the union — a
-    * non-circular gate on the incremental path. */
   /** The 1/4 "daily batch" split of the match-edge universe (the
     * crawl-increment shape); its complement defines the standing graph
     * memoized in Shared.standingClusters. One definition for both so the
@@ -239,6 +252,15 @@ object ErQueries {
   private[queries] def incrIsNewEdge =
     pmod(xxhash64(col("a"), col("b")), lit(4)) === 0
 
+  /** G7 surfaced as a catalog query: split the session's match edges
+    * deterministically into a 3/4 "standing" graph and a 1/4 "new batch"
+    * (xxhash64 of the pair — partition-invariant), cluster the standing
+    * graph (memoized — pre-existing state in a real maintenance
+    * deployment), then fold the batch in with
+    * [[graft.er.Clustering.incrementalClusters]]. The result must be
+    * IDENTICAL to `er_clusters` (incremental maintenance is exact), so
+    * the DuckDB oracle replays full-graph CC over the union — a
+    * non-circular gate on the incremental path. */
   def erClustersIncr(spark: SparkSession, dir: String): DataFrame = {
     val sh = shared(spark, dir)
     val batch = sh.scoredPairs.where(col("is_match") && incrIsNewEdge)

@@ -88,25 +88,51 @@ object TrainingDataQueries {
     Dedup.embeddingDupPairs(embs(spark, dir), "vec_id", "embedding",
       minCosine = 0.25, nBits = 16, bandBits = 4)
 
-  def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = embs(spark, dir)
-    Ann.bruteForceTopK(e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5)
-      .drop("cosine") // rank list only: float formatting stays out of outputs
+  /** Session memo of the three ANN top-k tables (minhashMemo pattern):
+    * each ann_*_topk query dumps its own table AND ann_recall consumes
+    * all three — without the memo a catalog pass pays every ANN pipeline
+    * twice. The persisted tables are queries×k rows (tiny); the heavy
+    * intermediates stay per-query. */
+  private val annMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def annShared(spark: SparkSession, dir: String, which: String)(
+      build: => DataFrame): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    val it = annMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.startsWith(app + "|")) {
+        try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    annMemo.computeIfAbsent(s"$app|$dir|$which", _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = embs(spark, dir)
-    Ann.lshTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
-      nBits = 16, bandBits = 4).drop("cosine")
-  }
+  def annBruteTopk(spark: SparkSession, dir: String): DataFrame =
+    annShared(spark, dir, "brute") {
+      val e = embs(spark, dir)
+      Ann.bruteForceTopK(e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+        .drop("cosine") // rank list only: float formatting stays out of outputs
+    }
 
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = embs(spark, dir)
-    // nLists auto-derived (~sqrt(corpus)) so the index keeps cell
-    // populations bounded at any sf (Ann.autoNLists doc)
-    Ann.ivfTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
-      nProbe = 4).drop("cosine")
-  }
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame =
+    annShared(spark, dir, "lsh") {
+      val e = embs(spark, dir)
+      Ann.lshTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+        nBits = 16, bandBits = 4).drop("cosine")
+    }
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    annShared(spark, dir, "ivf") {
+      val e = embs(spark, dir)
+      // nLists auto-derived (~sqrt(corpus)) so the index keeps cell
+      // populations bounded at any sf (Ann.autoNLists doc)
+      Ann.ivfTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+        nProbe = 4).drop("cosine")
+    }
 
   /** Recall@k of the approximate ANN tiers against the exact brute-force
     * floor: per (method, query) the intersection size of the approximate

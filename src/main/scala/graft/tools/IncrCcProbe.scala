@@ -53,12 +53,16 @@ object IncrCcProbe {
         Clustering.incrementalClusters(spark, standing, batchEdges).count()
       }
     }
-    // exactness at probe scale: the folded assignment equals batch CC
-    val full = Clustering.assign(spark, ids, edges)
-    val incr = Clustering.incrementalClusters(spark, standing, batchEdges)
-    val diff = full.as("f").join(incr.as("i"), Seq("id"))
-      .where(col("f.cluster") =!= col("i.cluster")).count()
-    println(s"[probe] mismatched rows vs batch CC: $diff")
+    // exactness at probe scale: the folded assignment equals batch CC —
+    // counts compared too, or a dropped/duplicated id would be invisible
+    // to the inner join and the mismatch count would be vacuously 0
+    val full = Clustering.assign(spark, ids, edges).cache()
+    val incr = Clustering.incrementalClusters(spark, standing, batchEdges).cache()
+    val (nFull, nIncr) = (full.count(), incr.count())
+    val joined = full.as("f").join(incr.as("i"), Seq("id")).cache()
+    val diff = joined.where(col("f.cluster") =!= col("i.cluster")).count()
+    println(s"[probe] rows full=$nFull incr=$nIncr joined=${joined.count()} " +
+      s"(all three must match); mismatched clusters vs batch CC: $diff")
     spark.stop()
   }
 }

@@ -51,6 +51,19 @@ class SourceCapSpec extends AnyFunSuite {
     assert(bySrc("tiny") === ((2L, 2L)))
   }
 
+  test("NULL sources form one group and survive to the output (null-safe join)") {
+    val rows: Seq[(java.lang.Long, String)] =
+      (0 until 12).map(i => (java.lang.Long.valueOf(i.toLong), null: String)) ++
+        Seq((java.lang.Long.valueOf(100L), "s"), (java.lang.Long.valueOf(101L), "s"))
+    val df = rows.toDF("doc_id", "source")
+    val got = SourceCap.sourceCap(df.repartition(5), 4).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getBoolean(2))).toMap
+    assert(got.size === 14, s"rows dropped: ${got.size} of 14")
+    val nullKept = got.collect { case (_, (None, true)) => 1 }.sum
+    assert(nullKept === 4, s"null-source group capped wrong: $nullKept kept")
+    assert(got(100L)._2 && got(101L)._2, "small named source keeps all")
+  }
+
   test("deterministic under parallelism: identical kept set at 1, 4, 17 partitions") {
     val rows = (0 until 300).map(i => (i.toLong, "s" + i % 11))
     val a = run(rows, 5, 1)

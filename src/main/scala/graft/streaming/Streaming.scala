@@ -217,17 +217,21 @@ object Streaming {
         foldClusterBatch(batch.toDF(), stateDir, batchId))
       .start()
 
-  /** One G7 fold: apply a micro-batch of (a, b) match edges to the
-    * standing assignment under `stateDir`. Public so a batch backfill job
-    * can reuse the exact streaming commit protocol. */
-  def foldClusterBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+  /** Versioned Parquet state-at-rest shared by the streaming maintenance
+    * sinks (cluster and source-cap folds): batchId-keyed version dirs, an
+    * atomic `_LATEST` pointer (temp file + rename, the CC-manifest
+    * protocol), previous version retained as the recovery target for a
+    * crash before the pointer rename, older versions pruned. One
+    * implementation so the commit protocol cannot drift between sinks. */
+  private[graft] final class VersionedState(spark: SparkSession, stateDir: String) {
     import org.apache.hadoop.fs.Path
-    val spark = batch.sparkSession
-    val root0 = new Path(stateDir)
-    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = fs.makeQualified(root0)
-    val latestPath = new Path(root, "_LATEST")
-    def versionPath(v: Long) = new Path(root, f"v_$v%012d")
+    private val fs =
+      new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val root = fs.makeQualified(new Path(stateDir))
+    private val latestPath = new Path(root, "_LATEST")
+
+    def versionPath(v: Long): String = new Path(root, f"v_$v%012d").toString
+
     def readLatest(): Option[Long] =
       try {
         val in = fs.open(latestPath)
@@ -235,7 +239,43 @@ object Streaming {
         Some(txt.trim.toLong)
       } catch { case _: Exception => None }
 
-    val prev = readLatest()
+    def read(v: Long): DataFrame = spark.read.parquet(versionPath(v))
+
+    /** Latest committed state, or an empty frame of `schema` before the
+      * first commit. */
+    def current(schema: StructType): DataFrame = readLatest() match {
+      case Some(v) => read(v)
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+    /** Write `df` as version `batchId`, atomically advance `_LATEST`,
+      * prune versions older than the previous one. */
+    def commit(batchId: Long, df: DataFrame, prev: Option[Long]): Unit = {
+      df.write.mode("overwrite").parquet(versionPath(batchId))
+      val tmp = new Path(root, "_LATEST.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(latestPath, false)
+      if (!fs.rename(tmp, latestPath))
+        throw new java.io.IOException(s"rename failed for $latestPath")
+      val keep = Set(batchId) ++ prev
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("v_") && !keep.contains(n.drop(2).toLong))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** One G7 fold: apply a micro-batch of (a, b) match edges to the
+    * standing assignment under `stateDir`. Public so a batch backfill job
+    * can reuse the exact streaming commit protocol. */
+  def foldClusterBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val vs = new VersionedState(spark, stateDir)
+    val prev = vs.readLatest()
     // replayed or out-of-order batch: already folded — reading and
     // overwriting the SAME version dir would race, so skip instead
     if (prev.exists(_ >= batchId)) return
@@ -248,47 +288,78 @@ object Streaming {
         graft.er.Clustering.assign(
           spark, e.select(explode(array(col("a"), col("b"))).as("id")).distinct(), e)
       case Some(v) =>
-        graft.er.Clustering.incrementalClusters(
-          spark, spark.read.parquet(versionPath(v).toString), e)
+        graft.er.Clustering.incrementalClusters(spark, vs.read(v), e)
     }
-    updated.write.mode("overwrite").parquet(versionPath(batchId).toString)
-    val tmp = new Path(root, "_LATEST.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(latestPath, false)
-    if (!fs.rename(tmp, latestPath))
-      throw new java.io.IOException(s"rename failed for $latestPath")
-    // prune versions older than the PREVIOUS one (kept as the recovery
-    // target for a crash before the pointer rename)
-    val keep = Set(batchId) ++ prev
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("v_") && !keep.contains(n.drop(2).toLong))
-        fs.delete(st.getPath, true)
-    }
+    vs.commit(batchId, updated, prev)
   }
 
   /** The standing assignment a [[streamingClusters]] query has built so
     * far (empty two-column frame before the first fold). */
-  def currentClusters(spark: SparkSession, stateDir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val root0 = new Path(stateDir)
-    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = fs.makeQualified(root0)
-    val v =
-      try {
-        val in = fs.open(new Path(root, "_LATEST"))
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        Some(txt.trim.toLong)
-      } catch { case _: Exception => None }
-    v match {
-      case Some(ver) => spark.read.parquet(new Path(root, f"v_$ver%012d").toString)
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("id", LongType), StructField("cluster", LongType))))
+  def currentClusters(spark: SparkSession, stateDir: String): DataFrame =
+    new VersionedState(spark, stateDir).current(
+      StructType(Seq(StructField("id", LongType), StructField("cluster", LongType))))
+
+  /** Streaming PER-SOURCE CAP MAINTENANCE — the streaming twin of
+    * [[graft.curate.SourceCap.sourceCap]]: documents stream in and every
+    * micro-batch folds into the standing kept-set state (the current
+    * top-N (id, source, h) per source, ≤ N rows per source — the bounded
+    * state IS the kept table).
+    *
+    * Exactness: an evicted document can never re-enter (per-source hashes
+    * only get smaller as documents arrive), so top-N(state ∪ batch
+    * partials) = top-N over all documents seen — StreamingSpec checks
+    * two-wave == batch sourceCap. Same versioned commit protocol as the
+    * cluster sink (replay-safe; fold also idempotent: re-merging rows
+    * already in state changes nothing).
+    *
+    * Scale shape: per micro-batch cost = one narrow partial pass over the
+    * batch + a source-cardinality merge with state — never a
+    * document-scale sort or shuffle. */
+  def streamingSourceCap(
+      docs: DataFrame,
+      n: Int,
+      stateDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      srcCol: String = "source"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldSourceCapBatch(batch.toDF(), n, stateDir, batchId, idCol, srcCol))
+      .start()
+
+  /** One source-cap fold: merge a micro-batch of documents into the
+    * standing kept-set under `stateDir`. Public for batch backfill. */
+  def foldSourceCapBatch(
+      batch: DataFrame,
+      n: Int,
+      stateDir: String,
+      batchId: Long,
+      idCol: String = "doc_id",
+      srcCol: String = "source"): Unit = {
+    val spark = batch.sparkSession
+    val vs = new VersionedState(spark, stateDir)
+    val prev = vs.readLatest()
+    if (prev.exists(_ >= batchId)) return
+    if (batch.isEmpty) return
+    val partial = graft.curate.SourceCap.partialKeep(
+      graft.curate.SourceCap.keyed(batch, idCol, srcCol), n)
+    val merged = prev match {
+      case None => partial
+      case Some(v) => vs.read(v).unionByName(partial)
     }
+    vs.commit(batchId, graft.curate.SourceCap.topNPerSource(merged, n), prev)
   }
+
+  /** The kept set a [[streamingSourceCap]] query has built so far:
+    * (id, source, h), at most n rows per source (empty before the first
+    * fold). */
+  def currentSourceCap(spark: SparkSession, stateDir: String): DataFrame =
+    new VersionedState(spark, stateDir).current(
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("source", StringType),
+        StructField("h", LongType))))
 
   val counterRowSchema: StructType = StructType(Seq(
     StructField("mode", StringType),

@@ -84,8 +84,8 @@ class SourceCapSpec extends AnyFunSuite {
     // the REAL phase-1 stage emits at most parts*n rows per source —
     // the shuffle volume that replaces the window's document-scale sort
     val keyed = rows.toDF("doc_id", "source").repartition(8)
-      .select(col("source"), col("doc_id").as("h"))
-    val partials = SourceCap.partialMins(keyed, 8).count()
+      .select(col("doc_id").as("id"), col("source"), col("doc_id").as("h"))
+    val partials = SourceCap.partialKeep(keyed, 8).count()
     assert(partials <= 8L * 8 * 3, s"unbounded partial output: $partials rows")
   }
 }

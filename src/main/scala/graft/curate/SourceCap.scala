@@ -66,8 +66,13 @@ object SourceCap extends Serializable {
 
     val k = keyed(docs, idCol, srcCol)
     // merge the ≤ partitions×n survivors per source; threshold = n-th
-    // smallest overall (= max survivor when the source has ≤ n docs)
+    // smallest overall (= max survivor when the source has ≤ n docs).
+    // dropDuplicates: a document delivered twice (re-crawl!) must count
+    // ONCE against the cap — h is a bijection of id, so (source, h)
+    // identifies the document; the relation is tiny (≤ partitions×n per
+    // source), never document-scale
     val thresholds = partialKeep(k, n)
+      .dropDuplicates("source", "h")
       .groupBy($"source")
       .agg(array_sort(collect_list($"h")).as("hs"))
       .select(
@@ -123,7 +128,11 @@ object SourceCap extends Serializable {
     * source, never document-scale). Tie-free by the splitmix bijection;
     * (h, id) ordering pins determinism even against duplicated ids. */
   private[graft] def topNPerSource(rows: DataFrame, n: Int): DataFrame =
-    rows.groupBy(col("source"))
+    // a re-delivered document (same (source, id) row arriving again in a
+    // later streaming batch) must not fill a second cap slot and evict a
+    // legitimate keeper — dedup before ranking (tiny relation)
+    rows.dropDuplicates("source", "id")
+      .groupBy(col("source"))
       .agg(slice(array_sort(collect_list(struct(col("h"), col("id")))), 1, n).as("top"))
       .select(col("source"), explode(col("top")).as("t"))
       .select(col("t.id").as("id"), col("source"), col("t.h").as("h"))

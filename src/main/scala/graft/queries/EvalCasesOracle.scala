@@ -36,8 +36,9 @@ package graft.queries
   */
 object EvalCasesOracle {
 
-  private val DateRe =
-    "([0-9]{1,2} )?(January|February|March|April|May|June|July|August|September|October|November|December)( [0-9]{1,4})?"
+  // the engine's own pattern, interpolated — a date-filter retune cannot
+  // silently desynchronize the oracle (same rule as taGopherFilterSql)
+  private val DateRe = graft.text.Extract.DateRePattern
 
   private val Pronouns =
     "'i','my','me','myself','mine','you','your','yourself','yours','he','his','him','himself'," +

@@ -44,22 +44,12 @@ object TrainingDataQueries {
   private val MhRowsPerBand = 8
   private val MhMinJaccard = 0.35
 
-  private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame = {
-    val app = spark.sparkContext.applicationId
-    val it = minhashMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (!e.getKey.startsWith(app + "|")) {
-        try e.getValue.unpersist(false) catch { case _: Throwable => () }
-        it.remove()
-      }
-    }
-    minhashMemo.computeIfAbsent(app + "|" + dir, _ =>
+  private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(minhashMemo, spark, dir) {
       Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
         shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
         minJaccard = MhMinJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+    }
 
   /** MinHash-LSH near-dup candidates. The synthetic documents share a
     * 31-word vocabulary, so a moderate threshold yields a non-trivial
@@ -97,19 +87,8 @@ object TrainingDataQueries {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def annShared(spark: SparkSession, dir: String, which: String)(
-      build: => DataFrame): DataFrame = {
-    val app = spark.sparkContext.applicationId
-    val it = annMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (!e.getKey.startsWith(app + "|")) {
-        try e.getValue.unpersist(false) catch { case _: Throwable => () }
-        it.remove()
-      }
-    }
-    annMemo.computeIfAbsent(s"$app|$dir|$which", _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+      build: => DataFrame): DataFrame =
+    graft.util.SessionMemo.cached(annMemo, spark, s"$dir|$which")(build)
 
   def annBruteTopk(spark: SparkSession, dir: String): DataFrame =
     annShared(spark, dir, "brute") {

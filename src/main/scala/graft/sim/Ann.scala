@@ -307,7 +307,11 @@ object Ann extends Serializable {
     // its bucket, so the candidate SET — and the top-k result — is
     // IDENTICAL to the uncapped plan; only the task granularity changes.
     val maxBucket = Dedup.DefaultMaxBucket
-    val cb0 = banded(corpus, "nbr_id")
+    // persistSig: the hot-bucket census below AND the candidate join both
+    // read this table — without the persist each call would run the
+    // corpus-scale nBits×dim signature map twice (released per query via
+    // Dedup.releaseSignatures, same discipline as the dedup tiers)
+    val cb0 = Dedup.persistSig(banded(corpus, "nbr_id"))
     val hot = cb0.groupBy("bucket").agg(count(lit(1)).as("bsz"))
       .where(col("bsz") > maxBucket)
     val cb = cb0.join(broadcast(hot), Seq("bucket"), "left")

@@ -4,7 +4,7 @@ package graft.tools
   * oracle_sql.json) to outDir, via the SAME dump implementation as the
   * full gate (graft.Verify.dump — session conf, failure handling and
   * `{OUT}` substitution cannot drift). Together with
-  * `tools/check_oracle.py OUT SF name...` this makes the per-round sf0.1
+  * `tools/check_oracle.py SF OUT name...` this makes the per-round sf0.1
   * scale-robustness replay of CHANGED oracles cheap instead of a full
   * catalog dump + full DuckDB suite.
   *

@@ -64,6 +64,20 @@ class SourceCapSpec extends AnyFunSuite {
     assert(got(100L)._2 && got(101L)._2, "small named source keeps all")
   }
 
+  test("a document delivered twice counts once against the cap") {
+    val once = (0L until 10L).map(i => (i, "s"))
+    val twice = once ++ once
+    val got = SourceCap.sourceCap(twice.toDF("doc_id", "source").repartition(6), 4)
+    assert(got.count() === 20, "one output row per input row")
+    val keptDocs = got.where(col("kept")).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keptDocs.size === 4, s"duplicates ate cap slots: $keptDocs")
+    // the kept set equals the single-delivery cap
+    val wantDocs = SourceCap.sourceCap(once.toDF("doc_id", "source"), 4)
+      .where(col("kept")).collect().map(_.getLong(0)).toSet
+    assert(keptDocs === wantDocs)
+  }
+
   test("deterministic under parallelism: identical kept set at 1, 4, 17 partitions") {
     val rows = (0 until 300).map(i => (i.toLong, "s" + i % 11))
     val a = run(rows, 5, 1)

@@ -286,6 +286,14 @@ class StreamingSpec extends AnyFunSuite {
     val after = Streaming.currentSourceCap(spark, stateDir)
       .collect().map(r => r.getLong(0)).toSet
     assert(after === want, "replayed batchId must not refold")
+    // re-delivery under a NEW batchId (re-crawl): already-kept docs must
+    // not fill second cap slots and evict keepers — state unchanged
+    Streaming.foldSourceCapBatch(
+      (wave1 ++ wave2).toDF("doc_id", "source"), n, stateDir, 2L)
+    val redelivered = Streaming.currentSourceCap(spark, stateDir)
+      .collect().map(r => r.getLong(0))
+    assert(redelivered.toSet === want, "re-delivered docs changed the kept set")
+    assert(redelivered.length === redelivered.toSet.size, "duplicate state rows")
     val vDirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v_"))
     assert(vDirs.length <= 2, s"stale versions not pruned: ${vDirs.mkString(",")}")
   }

@@ -43,6 +43,7 @@ object SparkEntry {
     "q13_sessions" -> (Queries.q13Sessions(_, _)),
     "q14_orders_daily" -> (Queries.q14OrdersDaily(_, _)),
     "q15_jaccard_pairs" -> (Queries.q15JaccardPairs(_, _)),
+    "dd_containment_pairs" -> (Queries.ddContainmentPairs(_, _)),
     "q16_revenue_by_priority" -> (Queries2.q16RevenueByPriority(_, _)),
     "q17_rollup_orders" -> (Queries2.q17RollupOrders(_, _)),
     "q18_part_strings" -> (Queries2.q18PartStrings(_, _)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "q13_sessions" -> Queries.q13Sql,
     "q14_orders_daily" -> Queries.q14Sql,
     "q15_jaccard_pairs" -> Queries.q15Sql,
+    "dd_containment_pairs" -> Queries.ddContainmentSql,
     "q16_revenue_by_priority" -> Queries2.q16Sql,
     "q17_rollup_orders" -> Queries2.q17Sql,
     "q18_part_strings" -> Queries2.q18Sql,

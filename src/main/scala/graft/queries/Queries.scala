@@ -334,6 +334,60 @@ object Queries {
   def q15JaccardPairs(spark: SparkSession, dir: String): DataFrame =
     q15Pairs(t(spark, dir, "documents"))
 
+  /** Asymmetric containment near-dup pairs: ordered (doc_a, doc_b) where
+    * |A∩B| / |A| ≥ 0.8 over distinct-token sets within a (lang, source)
+    * block — the boilerplate-expansion case symmetric Jaccard misses (a
+    * short doc fully quoted inside a longer one scores low Jaccard but
+    * high containment). Verified with integer cross-multiplication
+    * (5·inter ≥ 4·n_a), no float.
+    *
+    * Scale shape: prefix filter on the CONTAINED side only — if
+    * |A∩B| ≥ ⌈0.8·n_A⌉ then at least one of A's rarest
+    * n_A − ⌈0.8·n_A⌉ + 1 tokens (global rare-first order, any subset
+    * argument) is in B, so A explodes just its short prefix while the
+    * container side is the full inverted index: LINEAR token volume, not
+    * pairwise — there is no size-ratio bound for containment, so the
+    * container side cannot be prefix-trimmed, and the candidate count
+    * per prefix token tracks that token's corpus frequency (rare by
+    * construction of the rare-first order). */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val sorted = q15SortedToks(docs).localCheckpoint(true)
+    val pref = sorted
+      .withColumn("prefix",
+        slice(col("stoks"), lit(1),
+          (col("n") - ceil(col("n") * lit(0.8)) + lit(1)).cast("int")))
+      .select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+        explode(col("prefix")).as("tok"))
+    val full = sorted.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), explode(col("stoks")).as("tok"))
+    val cands = pref.join(full, Seq("lang", "source", "tok"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val toksA = sorted.select(col("doc_id").as("doc_a"),
+      col("stoks").as("toks_a"), col("n").as("n_a"))
+    val toksB = sorted.select(col("doc_id").as("doc_b"), col("stoks").as("toks_b"))
+    cands.join(toksA, Seq("doc_a")).join(toksB, Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
+      .where(col("inter") * lit(5) >= col("n_a") * lit(4))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a").cast("bigint").as("n_a"))
+  }
+
+  def ddContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(t(spark, dir, "documents"))
+
+  val ddContainmentSql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(list_distinct(string_split(a.text,' ')),
+      |                               list_distinct(string_split(b.text,' ')))) AS BIGINT) AS inter,
+      |       CAST(len(list_distinct(string_split(a.text,' '))) AS BIGINT) AS n_a
+      |FROM documents a JOIN documents b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+      |WHERE len(list_intersect(list_distinct(string_split(a.text,' ')),
+      |                         list_distinct(string_split(b.text,' ')))) * 5 >=
+      |      len(list_distinct(string_split(a.text,' '))) * 4""".stripMargin
+
   val q15Sql: String =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       CAST(len(list_intersect(list_distinct(string_split(a.text,' ')),

@@ -282,6 +282,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("containment prefix-filter equals brute force incl. asymmetric plants (property)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def brute(docs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] = {
+      val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+        array_distinct(split(col("text"), " ")).as("toks_a"))
+      val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+        array_distinct(split(col("text"), " ")).as("toks_b"))
+      pairsOf(a.join(b, Seq("lang", "source")).where(col("doc_a") =!= col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
+        .withColumn("n_a", size(col("toks_a")).cast("bigint"))
+        .where(col("inter") * 5 >= col("n_a") * 4)
+        .select("doc_a", "doc_b", "inter", "n_a"))
+    }
+    Seq((11, 40, 12, 30), (12, 70, 25, 300)).foreach { case (seed, nDocs, maxLen, vocab) =>
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until nDocs).map { i =>
+        val words = (0 until (1 + rng.nextInt(maxLen))).map(_ => "w" + rng.nextInt(vocab))
+        (i.toLong, "en", "web", words.mkString(" "))
+      } ++ Seq(
+        // the asymmetric case containment exists for: a short doc fully
+        // quoted inside a much longer one (low Jaccard, containment 1.0)
+        (9000L, "en", "web", "alpha beta gamma"),
+        (9001L, "en", "web", ("alpha beta gamma " +
+          (0 until 40).map(j => "pad" + j).mkString(" "))),
+        (9002L, "en", "web", ""), (9003L, "en", "web", "solo"))
+      val docs = rows.toDF("doc_id", "lang", "source", "text")
+      val got = pairsOf(Queries.containmentPairs(docs))
+      val want = brute(docs)
+      assert(got == want,
+        s"seed $seed: containment ${got.size} pairs vs brute ${want.size}")
+      assert(want.contains((9000L, 9001L, 3L, 3L)),
+        s"seed $seed: planted containment pair missing from brute oracle")
+      assert(!want.contains((9001L, 9000L, 3L, 44L)) ||
+        got.contains((9001L, 9000L, 3L, 44L)),
+        "direction sanity") // the long doc is NOT contained in the short one
+    }
+  }
+
   test("documents scans prune to the referenced columns") {
     val p = plan(Queries.q8Unigrams(spark, dir))
     val readSchema = p.split("ReadSchema: ")(1).split("\n")(0)

@@ -352,10 +352,13 @@ object Queries {
     * construction of the rare-first order). */
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
     val sorted = q15SortedToks(docs).localCheckpoint(true)
+    // required overlap o = ⌈4n/5⌉ computed in INTEGER arithmetic
+    // ((4n+4) div 5) — no float ceil near an integer boundary can ever
+    // shorten the prefix and drop a true pair
     val pref = sorted
       .withColumn("prefix",
         slice(col("stoks"), lit(1),
-          (col("n") - ceil(col("n") * lit(0.8)) + lit(1)).cast("int")))
+          (col("n") - expr("(n * 4 + 4) div 5") + lit(1)).cast("int")))
       .select(col("lang"), col("source"), col("doc_id").as("doc_a"),
         explode(col("prefix")).as("tok"))
     val full = sorted.select(col("lang"), col("source"),

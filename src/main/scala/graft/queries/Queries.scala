@@ -313,13 +313,15 @@ object Queries {
       .select("doc_a", "doc_b").distinct()
   }
 
-  private[graft] def q15Pairs(docs: DataFrame): DataFrame = {
+  private[graft] def q15Pairs(docs: DataFrame): DataFrame =
     // localCheckpoint: the sorted-token table feeds THREE consumers
     // (candidate generation + both verification fetch joins) and Spark
     // does not reuse the exchange across them; blocks are reclaimed by
     // the ContextCleaner once the result goes out of scope (the
     // EvalParagraphs pattern).
-    val sorted = q15SortedToks(docs).localCheckpoint(true)
+    q15PairsFrom(q15SortedToks(docs).localCheckpoint(true))
+
+  private[graft] def q15PairsFrom(sorted: DataFrame): DataFrame = {
     val toksA = sorted.select(col("doc_id").as("doc_a"), col("stoks").as("toks_a"))
     val toksB = sorted.select(col("doc_id").as("doc_b"), col("stoks").as("toks_b"))
     q15Candidates(sorted)
@@ -331,8 +333,21 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
+  /** Session memo of the rare-first sorted-token table shared by
+    * q15_jaccard_pairs and dd_containment_pairs — one token-frequency
+    * aggregation + sort per session instead of one per query
+    * (SessionMemo eviction discipline; persisted, doc-scale but narrow:
+    * (ids, n, stoks)). */
+  private val sortedToksMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def sortedToksShared(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.cached(sortedToksMemo, spark, dir) {
+      q15SortedToks(t(spark, dir, "documents"))
+    }
+
   def q15JaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    q15Pairs(t(spark, dir, "documents"))
+    q15PairsFrom(sortedToksShared(spark, dir))
 
   /** Asymmetric containment near-dup pairs: ordered (doc_a, doc_b) where
     * |A∩B| / |A| ≥ 0.8 over distinct-token sets within a (lang, source)
@@ -350,8 +365,10 @@ object Queries {
     * container side cannot be prefix-trimmed, and the candidate count
     * per prefix token tracks that token's corpus frequency (rare by
     * construction of the rare-first order). */
-  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
-    val sorted = q15SortedToks(docs).localCheckpoint(true)
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame =
+    containmentPairsFrom(q15SortedToks(docs).localCheckpoint(true))
+
+  private[graft] def containmentPairsFrom(sorted: DataFrame): DataFrame = {
     // required overlap o = ⌈4n/5⌉ computed in INTEGER arithmetic
     // ((4n+4) div 5) — no float ceil near an integer boundary can ever
     // shorten the prefix and drop a true pair
@@ -378,7 +395,7 @@ object Queries {
   }
 
   def ddContainmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(t(spark, dir, "documents"))
+    containmentPairsFrom(sortedToksShared(spark, dir))
 
   val ddContainmentSql: String =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -377,11 +377,17 @@ object Queries {
         slice(col("stoks"), lit(1),
           (col("n") - expr("(n * 4 + 4) div 5") + lit(1)).cast("int")))
       .select(col("lang"), col("source"), col("doc_id").as("doc_a"),
-        explode(col("prefix")).as("tok"))
+        col("n").as("na"), explode(col("prefix")).as("tok"))
     val full = sorted.select(col("lang"), col("source"),
-      col("doc_id").as("doc_b"), explode(col("stoks")).as("tok"))
+      col("doc_id").as("doc_b"), col("n").as("nb"),
+      explode(col("stoks")).as("tok"))
+    // container-size lower bound: inter ≤ n_b, so 5·n_b < 4·n_a can
+    // never verify — prune impossible (big contained, tiny container)
+    // candidates BEFORE the dedup shuffle and the two fetch joins
+    // (q15Candidates' analogue of its length-ratio filter)
     val cands = pref.join(full, Seq("lang", "source", "tok"))
-      .where(col("doc_a") =!= col("doc_b"))
+      .where(col("doc_a") =!= col("doc_b") &&
+        col("nb") * lit(5) >= col("na") * lit(4))
       .select("doc_a", "doc_b").distinct()
     val toksA = sorted.select(col("doc_id").as("doc_a"),
       col("stoks").as("toks_a"), col("n").as("n_a"))

@@ -317,9 +317,10 @@ class PlanAuditSpec extends AnyFunSuite {
         s"seed $seed: containment ${got.size} pairs vs brute ${want.size}")
       assert(want.contains((9000L, 9001L, 3L, 3L)),
         s"seed $seed: planted containment pair missing from brute oracle")
-      assert(!want.contains((9001L, 9000L, 3L, 44L)) ||
-        got.contains((9001L, 9000L, 3L, 44L)),
-        "direction sanity") // the long doc is NOT contained in the short one
+      // asymmetry: the long doc must NOT be reported as contained in the
+      // short one (inter 3 of 43 distinct tokens)
+      assert(!got.exists(p => p._1 == 9001L && p._2 == 9000L),
+        s"seed $seed: reversed containment direction reported")
     }
   }
 

@@ -368,7 +368,7 @@ object Queries {
   private[graft] def containmentPairs(docs: DataFrame): DataFrame =
     containmentPairsFrom(q15SortedToks(docs).localCheckpoint(true))
 
-  private[graft] def containmentPairsFrom(sorted: DataFrame): DataFrame = {
+  private[graft] def containmentCandidates(sorted: DataFrame): DataFrame = {
     // required overlap o = ⌈4n/5⌉ computed in INTEGER arithmetic
     // ((4n+4) div 5) — no float ceil near an integer boundary can ever
     // shorten the prefix and drop a true pair
@@ -385,10 +385,14 @@ object Queries {
     // never verify — prune impossible (big contained, tiny container)
     // candidates BEFORE the dedup shuffle and the two fetch joins
     // (q15Candidates' analogue of its length-ratio filter)
-    val cands = pref.join(full, Seq("lang", "source", "tok"))
+    pref.join(full, Seq("lang", "source", "tok"))
       .where(col("doc_a") =!= col("doc_b") &&
         col("nb") * lit(5) >= col("na") * lit(4))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  private[graft] def containmentPairsFrom(sorted: DataFrame): DataFrame = {
+    val cands = containmentCandidates(sorted)
     val toksA = sorted.select(col("doc_id").as("doc_a"),
       col("stoks").as("toks_a"), col("n").as("n_a"))
     val toksB = sorted.select(col("doc_id").as("doc_b"), col("stoks").as("toks_b"))

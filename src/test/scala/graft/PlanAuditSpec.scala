@@ -282,6 +282,41 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("containment candidates: size bound prunes impossible big-into-tiny pairs on a skewed fixture") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a big doc (n=200) sharing one genuinely RARE token (tf=2) with each
+    // of 300 tiny docs: 41 of those shared tokens land in the big doc's
+    // rare-first prefix, so without the container-size bound the big doc
+    // gains dozens of guaranteed-fail tiny "containers"; with it, none
+    val tiny = (0 until 300).map(i => (i.toLong, "en", "web", s"s$i filler$i"))
+    val bigText = (0 until 200).map(j => "s" + j).mkString(" ")
+    val medium = (8000L, "en", "web", "s0 s1 s2") // genuinely contained in big
+    val docs = (tiny ++ Seq(medium, (9000L, "en", "web", bigText)))
+      .toDF("doc_id", "lang", "source", "text")
+    val sorted = Queries.q15SortedToks(docs).localCheckpoint(true)
+    val cands = Queries.containmentCandidates(sorted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.exists(_._1 == 9000L),
+      "big doc (n=200) kept containers despite 5*n_b < 4*n_a for all of them")
+    // the legitimate direction (medium contained in big) survives pruning
+    assert(cands.contains((8000L, 9000L)), "medium-into-big candidate was lost")
+    // result still equals brute force on this fixture
+    val got = Queries.containmentPairsFrom(sorted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = docs.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+      array_distinct(split(col("text"), " ")).as("toks_a"))
+    val b = docs.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+      array_distinct(split(col("text"), " ")).as("toks_b"))
+    val brute = a.join(b, Seq("lang", "source")).where(col("doc_a") =!= col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
+      .withColumn("n_a", size(col("toks_a")).cast("bigint"))
+      .where(col("inter") * 5 >= col("n_a") * 4)
+      .select("doc_a", "doc_b", "inter", "n_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute, s"pruned plan diverges (got ${got.size}, brute ${brute.size})")
+  }
+
   test("containment prefix-filter equals brute force incl. asymmetric plants (property)") {
     val spark2 = spark
     import spark2.implicits._

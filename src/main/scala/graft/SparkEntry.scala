@@ -73,6 +73,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> (TrainingDataQueries.ddSimhashPairs(_, _)),
     "dd_embedding_dups" -> (TrainingDataQueries.ddEmbeddingDups(_, _)),
     "dd_survivors" -> (TrainingDataQueries.ddSurvivors(_, _)),
+    "dd_survivors_incr" -> (TrainingDataQueries.ddSurvivorsIncr(_, _)),
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
     "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
     "ann_ivf_topk" -> (TrainingDataQueries.annIvfTopk(_, _)),
@@ -198,6 +199,10 @@ object SparkEntry {
     "ann_recall" -> AuxOracles.annRecallSql,
     "ta_gopher_filter" -> AuxOracles.taGopherFilterSql,
     "dd_survivors" -> AuxOracles.ddSurvivorsSql,
+    // incremental dedup maintenance must be EXACT: the oracle is the
+    // batch-survivors SQL over the FULL documents table, so equality
+    // proves the fold reproduces batch dedup over the union
+    "dd_survivors_incr" -> AuxOracles.ddSurvivorsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
     "ann_ivf_topk" -> AuxOracles.annIvfTopkSql,
     "dd_minhash_pairs" -> AuxOracles.ddMinhashPairsSql,

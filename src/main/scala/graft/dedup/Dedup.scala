@@ -186,37 +186,66 @@ object Dedup {
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val nBands = nHashes / rowsPerBand
     // persisted: the plan references the signature map 4 times (hot-bucket
     // agg + both self-join sides + verification) and Spark does NOT reuse
     // the exchange across them — without persist every reference
     // re-shingles and re-hashes the whole corpus (measured: 4x
     // SerializeFromObject scans). Signature rows are compact (id + 64
     // longs), MEMORY_AND_DISK spills if not.
-    val sigs = persistSig(df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, minhash(charShingles(t, shingleK), nHashes)) }
-      .toDF("id", "sig"))
-    val banded = capBuckets(sigs.select(
-      col("id"), col("sig"),
-      explode(expr(
-        s"transform(sequence(0, ${nBands - 1}), b -> " +
-          s"concat(cast(b as string), ':', cast(xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) as string)))"))
-        .as("bucket")), maxBucket)
+    val sigs = persistSig(minhashSigs(df, idCol, textCol, shingleK, nHashes))
+    minhashPairsFromSigs(sigs, nHashes, rowsPerBand, minJaccard, maxBucket)
+  }
+
+  /** The banded self-join half of [[minhashPairs]], over a caller-persisted
+    * signature table (the index-at-rest shape [[survivorsIncremental]]'s
+    * standing state uses). */
+  private[graft] def minhashPairsFromSigs(
+      sigs: DataFrame,
+      nHashes: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+      maxBucket: Int): DataFrame = {
+    val nBands = nHashes / rowsPerBand
+    val banded = capBuckets(bandedSigs(sigs, nBands, rowsPerBand), maxBucket)
     val l = banded.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn(
-        "est_jaccard",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($nHashes as double)"))
+      .withColumn("est_jaccard", sigAgreement(nHashes))
       .where(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** (id, sig) MinHash signature table — the LSH index relation a
+    * deployment persists (and [[survivorsIncremental]] treats as standing
+    * state). */
+  private[graft] def minhashSigs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, nHashes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, minhash(charShingles(t, shingleK), nHashes)) }
+      .toDF("id", "sig")
+  }
+
+  /** Explode a signature table into per-band bucket keys (pre-cap). */
+  private[graft] def bandedSigs(
+      sigs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("id"), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"concat(cast(b as string), ':', cast(xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) as string)))"))
+        .as("bucket"))
+
+  /** The exact verification expression shared by the batch pair join and
+    * the incremental fold: fraction of agreeing minhash components over
+    * sig_a/sig_b (identical double arithmetic on both paths). */
+  private def sigAgreement(nHashes: Int) =
+    expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($nHashes as double)")
 
   // ---------- simhash --------------------------------------------------------
 
@@ -359,6 +388,159 @@ object Dedup {
       spark, exactEdges.unionByName(nearEdges))
     withG
       .join(cc, Seq("id"), "left")
+      .withColumn("survivor_id", coalesce(col("cluster"), col("id")))
+      .withColumn(
+        "tier",
+        when(col("survivor_id") === col("id"), lit("keep"))
+          .when(col("has_exact"), lit("exact"))
+          .otherwise(lit("near")))
+      .select(col("id"), col("survivor_id"), col("tier"))
+  }
+
+  /** The standing dedup state a deployment maintains between crawl
+    * increments — the relations [[survivorsIncremental]] folds a document
+    * batch into. All four frames should be persisted by the caller (they
+    * are each read multiple times per fold):
+    *   - `hashed` (id, content_hash): node-scale narrow table;
+    *   - `sigs` (id, sig): the MinHash LSH index at rest;
+    *   - `groups` (content_hash, gmin, gsz): the exact-dedup index;
+    *   - `clusters` (id, cluster): converged CC over the standing
+    *     exact+near edge graph (covers ids that appear in edges;
+    *     isolated docs are singletons by omission, as in
+    *     [[graft.er.Clustering.assign]]'s left-join convention).
+    * Parameters are carried so a fold with drifted settings fails loudly
+    * (the NearPairTable rule). */
+  final case class SurvivorIndex(
+      hashed: DataFrame,
+      sigs: DataFrame,
+      groups: DataFrame,
+      clusters: DataFrame,
+      shingleK: Int,
+      nHashes: Int,
+      rowsPerBand: Int,
+      minJaccard: Double,
+      maxBucket: Int)
+
+  /** Build the standing index from a document table (the one-time batch
+    * bootstrap; every later increment goes through
+    * [[survivorsIncremental]]). `cache` is applied to each index frame
+    * BEFORE downstream use — pass `_.persist(...)` so the bootstrap's CC
+    * (which references sigs several times) and every later fold read the
+    * materialized frames instead of re-shingling the standing corpus. */
+  def buildSurvivorIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      nHashes: Int = 64,
+      rowsPerBand: Int = 8,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket,
+      cache: DataFrame => DataFrame = identity): SurvivorIndex = {
+    val spark = df.sparkSession
+    val hashed = cache(df.select(
+      col(idCol).cast("long").as("id"),
+      md5(col(textCol).cast("binary")).as("content_hash")))
+    val sigs = cache(minhashSigs(df, idCol, textCol, shingleK, nHashes))
+    val groups = cache(hashed.groupBy("content_hash")
+      .agg(min("id").as("gmin"), count(lit(1)).as("gsz")))
+    val exactEdges = hashed.join(groups, Seq("content_hash"))
+      .where(col("id") =!= col("gmin"))
+      .select(col("id").as("a"), col("gmin").as("b"))
+    val nearEdges =
+      minhashPairsFromSigs(sigs, nHashes, rowsPerBand, minJaccard, maxBucket)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+    val clusters = cache(graft.er.Clustering.connectedComponents(
+      spark, exactEdges.unionByName(nearEdges)))
+    SurvivorIndex(hashed, sigs, groups, clusters,
+      shingleK, nHashes, rowsPerBand, minJaccard, maxBucket)
+  }
+
+  /** Incremental survivors fold — the training-data refresh twin of
+    * [[graft.er.Clustering.incrementalClusters]]: fold a batch of NEW
+    * documents into the standing index and return the refreshed
+    * (id, survivor_id, tier) decision table over the union, WITHOUT
+    * re-shingling or re-clustering the standing corpus.
+    *
+    * Per-fold cost tracks the batch: batch signatures + a batch-vs-index
+    * band-bucket probe (the LSH-index lookup shape), a hash-scale merge
+    * of the exact-dedup index, the contracted incremental CC, and two
+    * node-scale narrow passes for the refreshed tiers. A standing doc's
+    * row CAN change — a batch exact-duplicate flips its victim's tier to
+    * "exact", and merged components change survivor_ids — which is why
+    * the fold re-emits the full table (at 10^12 docs, partition the
+    * rewrite by touched ranges, the [[graft.streaming.Streaming]]
+    * compaction note).
+    *
+    * Exactness: equals `survivors()` over the union exactly as long as
+    * no band bucket exceeds `maxBucket` in either the standing or the
+    * union build — the same declared cap assumption the DuckDB oracle
+    * already makes; an oversized bucket sub-buckets by a census that
+    * differs between the two builds, and both paths are then declared
+    * approximations. The gate proves equality at catalog scale. */
+  def survivorsIncremental(
+      idx: SurvivorIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val nBands = idx.nHashes / idx.rowsPerBand
+    val bHashed = batch.select(
+      col(idCol).cast("long").as("id"),
+      md5(col(textCol).cast("binary")).as("content_hash"))
+    val bSigs = persistSig(
+      minhashSigs(batch, idCol, textCol, idx.shingleK, idx.nHashes))
+
+    // exact-dedup index merge: min of mins, sum of counts (hash-scale)
+    val bGroups = bHashed.groupBy("content_hash")
+      .agg(min("id").as("bmin"), count(lit(1)).as("bsz"))
+    val sGroups = idx.groups.select(col("content_hash"),
+      col("gmin").as("smin"), col("gsz").as("ssz"))
+    val merged = sGroups.join(bGroups, Seq("content_hash"), "full_outer")
+      .select(
+        col("content_hash"),
+        least(col("smin"), col("bmin")).as("gmin"), // least skips nulls
+        (coalesce(col("ssz"), lit(0L)) + coalesce(col("bsz"), lit(0L))).as("gsz"),
+        col("smin"))
+
+    // new exact edges: every batch doc to its union group min, plus a
+    // relink edge when a batch doc took over a standing group's min (the
+    // standing members already connect to the OLD min in idx.clusters)
+    val eBatch = bHashed.join(merged, Seq("content_hash"))
+      .where(col("id") =!= col("gmin"))
+      .select(col("id").as("a"), col("gmin").as("b"))
+    val eRelink = merged
+      .where(col("smin").isNotNull && col("smin") =!= col("gmin"))
+      .select(col("smin").as("a"), col("gmin").as("b"))
+
+    // new near edges: band buckets over the UNION census (the index
+    // updates its bucket sizes as the batch lands), probed from the
+    // batch side only — standing-standing pairs are already contracted
+    // inside idx.clusters
+    val allSigs = idx.sigs.unionByName(bSigs)
+    val banded = capBuckets(
+      bandedSigs(allSigs, nBands, idx.rowsPerBand), idx.maxBucket)
+    val bandedBatch = banded.join(bSigs.select("id"), Seq("id"), "left_semi")
+    val near = bandedBatch
+      .select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("bucket"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("est_jaccard", sigAgreement(idx.nHashes))
+      .where(col("est_jaccard") >= idx.minJaccard)
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .dropDuplicates("a", "b")
+
+    val clusters2 = graft.er.Clustering.incrementalClusters(
+      spark, idx.clusters,
+      eBatch.unionByName(eRelink).unionByName(near))
+
+    // refreshed decision table over the union (same rules as survivors())
+    idx.hashed.unionByName(bHashed)
+      .join(merged.select(col("content_hash"), col("gsz")), Seq("content_hash"))
+      .select(col("id"), (col("gsz") > 1).as("has_exact"))
+      .join(clusters2, Seq("id"), "left")
       .withColumn("survivor_id", coalesce(col("cluster"), col("id")))
       .withColumn(
         "tier",

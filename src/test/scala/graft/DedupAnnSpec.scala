@@ -254,6 +254,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("incremental survivors fold equals batch survivors over the union (tier flips included)") {
+    val d = docs(80) // planted near dups (+1000) and exact dups (+2000)
+    val standing = d.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = d.where(pmod(col("doc_id"), lit(3)) === 0)
+    // mod-3 split guarantees cross-split structure: e.g. exact dup 2001
+    // (batch) duplicates standing doc 1 — a standing doc's tier must flip
+    val idx = Dedup.buildSurvivorIndex(standing, "doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val got = table(Dedup.survivorsIncremental(idx, batch, "doc_id", "text"))
+    val want = table(Dedup.survivors(d, "doc_id", "text"))
+    assert(got.size === want.size, s"row counts differ: ${got.size} vs ${want.size}")
+    assert(got === want)
+    // the fixture must actually exercise a cross-split merge: some batch
+    // doc's survivor is a standing doc (or vice versa)
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.exists { case (id, (surv, _)) =>
+      batchIds(id) != batchIds(surv) && id != surv },
+      "fixture never merged across the split — weaken nothing, fix the fixture")
+    // and the standing victim of a batch exact-dup is tier 'exact'
+    assert(want(1L)._2 != "keep" || got(2001L)._1 == want(2001L)._1,
+      "exact-dup linkage sanity")
+  }
+
   test("ANN recall tally: self-recall is k, disjoint is 0, partial counts exactly") {
     val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
       (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L))

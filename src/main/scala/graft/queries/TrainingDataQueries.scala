@@ -88,7 +88,7 @@ object TrainingDataQueries {
   private val survivorIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.SurvivorIndex]()
 
-  private def survivorIndexShared(spark: SparkSession, dir: String): Dedup.SurvivorIndex = {
+  private[graft] def survivorIndexShared(spark: SparkSession, dir: String): Dedup.SurvivorIndex = {
     val app = spark.sparkContext.applicationId
     val it = survivorIdxMemo.entrySet().iterator()
     while (it.hasNext) {

@@ -342,7 +342,13 @@ object Dedup {
     * Scale shape: one content-hash shuffle (exact tier), the bucketed
     * MinHash pipeline (near tier, bounded buckets), one CC over match
     * edges only (|edges| << |corpus| after blocking) — no stage touches
-    * the full pair space. */
+    * the full pair space.
+    *
+    * Precondition (also for [[survivorsIncremental]]): `textCol` must be
+    * non-null — md5(NULL) is NULL and the content-hash equi-joins drop
+    * such rows from the decision table entirely (no keep AND no drop),
+    * exactly as the SQL oracle's join does. Filter or impute null text
+    * upstream. */
   def survivors(
       df: DataFrame,
       idCol: String,
@@ -491,7 +497,14 @@ object Dedup {
     val bSigs = persistSig(
       minhashSigs(batch, idCol, textCol, idx.shingleK, idx.nHashes))
 
-    // exact-dedup index merge: min of mins, sum of counts (hash-scale)
+    // exact-dedup index merge: min of mins, sum of counts (hash-scale).
+    // localCheckpoint: merged feeds FOUR consumers (eBatch, eRelink, and
+    // the tier pass twice through the edge plans) and the edges feed
+    // incrementalClusters' three terminal points — without eager
+    // materialization the corpus-scale index scans re-run per consumer
+    // (blocks reclaimed by the ContextCleaner, the EvalParagraphs
+    // pattern; at deployment this materialization IS the next index
+    // version being written anyway)
     val bGroups = bHashed.groupBy("content_hash")
       .agg(min("id").as("bmin"), count(lit(1)).as("bsz"))
     val sGroups = idx.groups.select(col("content_hash"),
@@ -502,6 +515,7 @@ object Dedup {
         least(col("smin"), col("bmin")).as("gmin"), // least skips nulls
         (coalesce(col("ssz"), lit(0L)) + coalesce(col("bsz"), lit(0L))).as("gsz"),
         col("smin"))
+      .localCheckpoint(true)
 
     // new exact edges: every batch doc to its union group min, plus a
     // relink edge when a batch doc took over a standing group's min (the
@@ -532,9 +546,13 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("b"))
       .dropDuplicates("a", "b")
 
+    // batch-scale edge set, eagerly truncated so the banded probe and the
+    // group-merge joins above run ONCE, not once per incrementalClusters
+    // terminal point
+    val newEdges = eBatch.unionByName(eRelink).unionByName(near)
+      .localCheckpoint(true)
     val clusters2 = graft.er.Clustering.incrementalClusters(
-      spark, idx.clusters,
-      eBatch.unionByName(eRelink).unionByName(near))
+      spark, idx.clusters, newEdges)
 
     // refreshed decision table over the union (same rules as survivors())
     idx.hashed.unionByName(bHashed)

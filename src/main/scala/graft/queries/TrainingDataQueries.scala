@@ -77,35 +77,26 @@ object TrainingDataQueries {
   /** The 1/4 "new crawl" split of the documents table (xxhash64 of the
     * doc id — partition-invariant); its complement is the standing corpus
     * whose dedup index is memoized in [[survivorIndexShared]]. */
-  private[queries] def incrIsNewDoc =
+  private[graft] def incrIsNewDoc =
     pmod(xxhash64(col("doc_id")), lit(4)) === 0
 
   /** Session memo of the standing dedup index (hashed / signatures /
     * exact groups / clusters — the state a deployment keeps between crawl
     * increments; the bootstrap build is one-time setup, not part of the
-    * measured fold). Same eviction discipline as the DataFrame memos,
-    * inlined here because the entry is a four-frame index. */
+    * measured fold). */
   private val survivorIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Dedup.SurvivorIndex]()
 
-  private[graft] def survivorIndexShared(spark: SparkSession, dir: String): Dedup.SurvivorIndex = {
-    val app = spark.sparkContext.applicationId
-    val it = survivorIdxMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (!e.getKey.startsWith(app + "|")) {
-        Seq(e.getValue.hashed, e.getValue.sigs, e.getValue.groups, e.getValue.clusters)
-          .foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
-        it.remove()
-      }
-    }
-    survivorIdxMemo.computeIfAbsent(app + "|" + dir, _ =>
+  private[graft] def survivorIndexShared(spark: SparkSession, dir: String): Dedup.SurvivorIndex =
+    graft.util.SessionMemo.cachedEntry(survivorIdxMemo, spark, dir)(
       Dedup.buildSurvivorIndex(
         docs(spark, dir).where(!incrIsNewDoc), "doc_id", "text",
         shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
         minJaccard = MhMinJaccard, maxBucket = Dedup.DefaultMaxBucket,
-        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-  }
+        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))) { idx =>
+      Seq(idx.hashed, idx.sigs, idx.groups, idx.clusters)
+        .foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
+    }
 
   /** Incremental survivors (the training-data refresh twin of
     * er_clusters_incr): fold the 1/4 "new crawl" docs into the standing

@@ -9,8 +9,7 @@ import graft.queries.TrainingDataQueries
 /** Stage-decomposed timing probe for the incremental survivors fold
   * (dd_survivors_incr) at sf0.1: one cold pass (index bootstrap + fold),
   * then the warm fold broken into its stages. Replicates the fold body
-  * with the SAME parameters as the catalog (shingleK=5 nHashes=64
-  * rowsPerBand=8 minJaccard=0.35 maxBucket=4096) — evidence for the
+  * with the catalog's own parameters (read from the memoized SurvivorIndex) — evidence for the
   * BASELINE.md note that the warm fold's wall time at bench scale is the
   * contracted-CC fixed round cost, not corpus-proportional work. */
 object IncrSurvProbe {
@@ -28,11 +27,12 @@ object IncrSurvProbe {
     Dedup.releaseSignatures()
     // decompose: re-run the fold body with stage counts
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val isNew = pmod(xxhash64(col("doc_id")), lit(4)) === 0
-    val idx = time("idx_lookup")(graft.queries.TrainingDataQueries.survivorIndexShared(spark, dir))
-    val batch = docs.where(isNew)
+    val idx = time("idx_lookup")(TrainingDataQueries.survivorIndexShared(spark, dir))
+    // split predicate and ALL parameters come from the catalog/index —
+    // the probe cannot silently measure a different query after a retune
+    val batch = docs.where(TrainingDataQueries.incrIsNewDoc)
     val bHashed = batch.select(col("doc_id").cast("long").as("id"), md5(col("text").cast("binary")).as("content_hash"))
-    val bSigs = Dedup.minhashSigs(batch, "doc_id", "text", 5, 64).cache()
+    val bSigs = Dedup.minhashSigs(batch, "doc_id", "text", idx.shingleK, idx.nHashes).cache()
     time("b_sigs")(bSigs.count())
     val bGroups = bHashed.groupBy("content_hash").agg(min("id").as("bmin"), count(lit(1)).as("bsz"))
     val sGroups = idx.groups.select(col("content_hash"), col("gmin").as("smin"), col("gsz").as("ssz"))
@@ -45,13 +45,15 @@ object IncrSurvProbe {
     val eRelink = merged.where(col("smin").isNotNull && col("smin") =!= col("gmin"))
       .select(col("smin").as("a"), col("gmin").as("b"))
     val allSigs = idx.sigs.unionByName(bSigs)
-    val banded = Dedup.capBuckets(Dedup.bandedSigs(allSigs, 8, 8), 4096)
+    val banded = Dedup.capBuckets(
+      Dedup.bandedSigs(allSigs, idx.nHashes / idx.rowsPerBand, idx.rowsPerBand), idx.maxBucket)
     val bandedBatch = banded.join(bSigs.select("id"), Seq("id"), "left_semi")
     val near = bandedBatch.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b")), Seq("bucket"))
       .where(col("id_a") =!= col("id_b"))
-      .withColumn("est_jaccard", expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast(64 as double)"))
-      .where(col("est_jaccard") >= 0.35)
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast(${idx.nHashes} as double)"))
+      .where(col("est_jaccard") >= idx.minJaccard)
       .select(least(col("id_a"), col("id_b")).as("a"), greatest(col("id_a"), col("id_b")).as("b"))
       .dropDuplicates("a", "b")
     val edges = eBatch.unionByName(eRelink).unionByName(near).cache()

@@ -273,9 +273,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.exists { case (id, (surv, _)) =>
       batchIds(id) != batchIds(surv) && id != surv },
       "fixture never merged across the split — weaken nothing, fix the fixture")
-    // and the standing victim of a batch exact-dup is tier 'exact'
-    assert(want(1L)._2 != "keep" || got(2001L)._1 == want(2001L)._1,
-      "exact-dup linkage sanity")
+    // the cross-split exact-dup case concretely: batch doc 2001
+    // duplicates standing doc 1, so it drops with tier 'exact' into 1's
+    // component (asserted against the expected values, not just got==want)
+    assert(got(2001L) === ((1L, "exact")), s"cross-split exact dup: ${got(2001L)}")
+  }
+
+  test("a smaller-id batch exact-dup takes over a standing keeper (tier flip)") {
+    val standing = Seq((10L, "zeta eta theta unique document")).toDF("doc_id", "text")
+    val batch = Seq((5L, "zeta eta theta unique document")).toDF("doc_id", "text")
+    val idx = Dedup.buildSurvivorIndex(standing, "doc_id", "text")
+    val got = Dedup.survivorsIncremental(idx, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // standing doc 10 WAS its own keeper; the smaller-id batch duplicate
+    // takes over, flipping 10 to a dropped exact duplicate
+    assert(got(5L) === ((5L, "keep")))
+    assert(got(10L) === ((5L, "exact")), s"standing keeper did not flip: ${got(10L)}")
+    val want = Dedup.survivors(
+      standing.unionByName(batch), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got === want)
   }
 
   test("ANN recall tally: self-recall is k, disjoint is 0, partial counts exactly") {

@@ -106,12 +106,25 @@ object SourceCap extends Serializable {
           val ha = hs.getOrElseUpdate(src, Array.fill(n)(Long.MaxValue))
           val ia = ids.getOrElseUpdate(src, Array.fill(n)(0L))
           val m = len.getOrElse(src, 0)
-          if (m < n) { ha(m) = h; ia(m) = id; len(src) = m + 1 }
-          else {
-            // replace the current worst if h beats it (n is small; O(n) scan)
-            var worst = 0; var i = 1
-            while (i < n) { if (ha(i) > ha(worst)) worst = i; i += 1 }
-            if (h < ha(worst)) { ha(worst) = h; ia(worst) = id }
+          // in-fold dedup: h is a bijection of id, so an equal h among the
+          // held slots is the SAME (source, id) row re-delivered (re-crawl)
+          // — without this it would occupy a second top-n slot, evicting a
+          // legitimate keeper, and the merged threshold could land on the
+          // (n+1)-th hash (over-keep). A previously EVICTED duplicate can
+          // never re-enter either: eviction means n hashes < h are held,
+          // so the replace test below already rejects it. O(n) scan, same
+          // cost as the worst-slot scan.
+          var dup = false
+          var j = 0
+          while (j < m && !dup) { if (ha(j) == h) dup = true; j += 1 }
+          if (!dup) {
+            if (m < n) { ha(m) = h; ia(m) = id; len(src) = m + 1 }
+            else {
+              // replace the current worst if h beats it (n is small; O(n) scan)
+              var worst = 0; var i = 1
+              while (i < n) { if (ha(i) > ha(worst)) worst = i; i += 1 }
+              if (h < ha(worst)) { ha(worst) = h; ia(worst) = id }
+            }
           }
         }
         hs.keysIterator.toArray.iterator.flatMap { src =>

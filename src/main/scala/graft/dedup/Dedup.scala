@@ -72,9 +72,20 @@ object Dedup {
     * another band with probability 1-(1-1/nb)^(bands-1) — recall loss is
     * negligible for banded schemes (and exactly zero when no bucket
     * exceeds the cap). */
-  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val hot = banded.groupBy("bucket").agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") > maxBucket)
+  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    capBucketsWith(banded,
+      banded.groupBy("bucket").agg(count(lit(1)).as("bsz")), maxBucket)
+
+  /** [[capBuckets]] against a CALLER-SUPPLIED census (bucket, bsz) — the
+    * index-at-rest shape: [[survivorsIncremental]] maintains the standing
+    * bucket sizes incrementally and derives the union census from the
+    * batch's band deltas alone, so the cap never re-counts the corpus.
+    * Rows whose bucket is absent from `sizes` pass through uncapped
+    * (left join → nb = 1), so a census restricted to the buckets a probe
+    * can reach is sufficient. */
+  private[graft] def capBucketsWith(
+      banded: DataFrame, sizes: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = sizes.where(col("bsz") > maxBucket).select("bucket", "bsz")
     banded.join(broadcast(hot), Seq("bucket"), "left")
       .withColumn("nb", coalesce(ceil(col("bsz") / lit(maxBucket)).cast("int"), lit(1)))
       .withColumn("bucket",
@@ -206,7 +217,17 @@ object Dedup {
       minJaccard: Double,
       maxBucket: Int): DataFrame = {
     val nBands = nHashes / rowsPerBand
-    val banded = capBuckets(bandedSigs(sigs, nBands, rowsPerBand), maxBucket)
+    minhashPairsFromBanded(
+      capBuckets(bandedSigs(sigs, nBands, rowsPerBand), maxBucket),
+      nHashes, minJaccard)
+  }
+
+  /** The within-bucket verify half over an ALREADY-CAPPED banded table —
+    * shared by the sig-table path above and the index-at-rest bootstrap
+    * ([[buildSurvivorIndex]] reuses its persisted banded frame here
+    * instead of re-exploding the signatures). */
+  private[graft] def minhashPairsFromBanded(
+      banded: DataFrame, nHashes: Int, minJaccard: Double): DataFrame = {
     val l = banded.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("bucket"))
@@ -405,10 +426,23 @@ object Dedup {
 
   /** The standing dedup state a deployment maintains between crawl
     * increments — the relations [[survivorsIncremental]] folds a document
-    * batch into. All four frames should be persisted by the caller (they
-    * are each read multiple times per fold):
+    * batch into. All frames should be persisted by the caller (they are
+    * each read multiple times per fold):
     *   - `hashed` (id, content_hash): node-scale narrow table;
-    *   - `sigs` (id, sig): the MinHash LSH index at rest;
+    *   - `sigs` (id, sig): the MinHash signature table;
+    *   - `banded` (bucket, id, sig): the BANDED LSH index at rest — the
+    *     signatures pre-exploded into their raw (uncapped) band buckets.
+    *     This is what makes a fold batch-scale: the probe filters this
+    *     table to the buckets the batch's bands touch instead of
+    *     re-banding and bucket-shuffling the whole corpus per fold (at
+    *     deployment, store it PARTITIONED BY bucket range so the touched
+    *     filter is a pruned read). Deliberately denormalized (sig travels
+    *     with the bucket row, nBands copies) so verification needs no
+    *     id-join back to `sigs`; signatures are ~0.5 KB/doc, small next
+    *     to the text corpus the index serves.
+    *   - `bucketSizes` (bucket, bsz): the standing bucket census; the
+    *     fold derives each touched bucket's UNION size as bsz + the
+    *     batch's band delta — never a corpus-scale re-count.
     *   - `groups` (content_hash, gmin, gsz): the exact-dedup index;
     *   - `clusters` (id, cluster): converged CC over the standing
     *     exact+near edge graph (covers ids that appear in edges;
@@ -419,13 +453,19 @@ object Dedup {
   final case class SurvivorIndex(
       hashed: DataFrame,
       sigs: DataFrame,
+      banded: DataFrame,
+      bucketSizes: DataFrame,
       groups: DataFrame,
       clusters: DataFrame,
       shingleK: Int,
       nHashes: Int,
       rowsPerBand: Int,
       minJaccard: Double,
-      maxBucket: Int)
+      maxBucket: Int) {
+    /** Every frame a caller should persist/unpersist as a unit. */
+    def frames: Seq[DataFrame] =
+      Seq(hashed, sigs, banded, bucketSizes, groups, clusters)
+  }
 
   /** Build the standing index from a document table (the one-time batch
     * bootstrap; every later increment goes through
@@ -444,21 +484,28 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       cache: DataFrame => DataFrame = identity): SurvivorIndex = {
     val spark = df.sparkSession
+    val nBands = nHashes / rowsPerBand
     val hashed = cache(df.select(
       col(idCol).cast("long").as("id"),
       md5(col(textCol).cast("binary")).as("content_hash")))
     val sigs = cache(minhashSigs(df, idCol, textCol, shingleK, nHashes))
+    val banded = cache(bandedSigs(sigs, nBands, rowsPerBand))
+    val bucketSizes = cache(
+      banded.groupBy("bucket").agg(count(lit(1)).as("bsz")))
     val groups = cache(hashed.groupBy("content_hash")
       .agg(min("id").as("gmin"), count(lit(1)).as("gsz")))
     val exactEdges = hashed.join(groups, Seq("content_hash"))
       .where(col("id") =!= col("gmin"))
       .select(col("id").as("a"), col("gmin").as("b"))
+    // the bootstrap's own near edges reuse the at-rest banded frame + its
+    // census — the last bandedSigs pass this index will ever run
     val nearEdges =
-      minhashPairsFromSigs(sigs, nHashes, rowsPerBand, minJaccard, maxBucket)
+      minhashPairsFromBanded(
+        capBucketsWith(banded, bucketSizes, maxBucket), nHashes, minJaccard)
         .select(col("id_a").as("a"), col("id_b").as("b"))
     val clusters = cache(graft.er.Clustering.connectedComponents(
       spark, exactEdges.unionByName(nearEdges)))
-    SurvivorIndex(hashed, sigs, groups, clusters,
+    SurvivorIndex(hashed, sigs, banded, bucketSizes, groups, clusters,
       shingleK, nHashes, rowsPerBand, minJaccard, maxBucket)
   }
 
@@ -468,9 +515,14 @@ object Dedup {
     * (id, survivor_id, tier) decision table over the union, WITHOUT
     * re-shingling or re-clustering the standing corpus.
     *
-    * Per-fold cost tracks the batch: batch signatures + a batch-vs-index
-    * band-bucket probe (the LSH-index lookup shape), a hash-scale merge
-    * of the exact-dedup index, the contracted incremental CC, and two
+    * Per-fold cost tracks the batch: batch signatures + a touched-bucket
+    * probe of the banded LSH index at rest (standing rows reached through
+    * a broadcast semi-join on the batch's bucket deltas — a pruned
+    * partition read when the index is stored bucket-partitioned; the
+    * broadcast assumes batch ≪ corpus, the incremental premise — a
+    * corpus-scale catch-up batch should re-bootstrap via
+    * [[buildSurvivorIndex]] instead), a hash-scale merge of the
+    * exact-dedup index, the contracted incremental CC, and two
     * node-scale narrow passes for the refreshed tiers. A standing doc's
     * row CAN change — a batch exact-duplicate flips its victim's tier to
     * "exact", and merged components change survivor_ids — which is why
@@ -527,17 +579,34 @@ object Dedup {
       .where(col("smin").isNotNull && col("smin") =!= col("gmin"))
       .select(col("smin").as("a"), col("gmin").as("b"))
 
-    // new near edges: band buckets over the UNION census (the index
-    // updates its bucket sizes as the batch lands), probed from the
-    // batch side only — standing-standing pairs are already contracted
-    // inside idx.clusters
-    val allSigs = idx.sigs.unionByName(bSigs)
-    val banded = capBuckets(
-      bandedSigs(allSigs, nBands, idx.rowsPerBand), idx.maxBucket)
-    val bandedBatch = banded.join(bSigs.select("id"), Seq("id"), "left_semi")
-    val near = bandedBatch
+    // new near edges, probed against the BANDED INDEX AT REST: the batch's
+    // bands are exploded (batch-scale), their bucket deltas update the
+    // standing census incrementally (union size = standing bsz + delta —
+    // no corpus re-count), and only standing rows in TOUCHED buckets are
+    // read (a broadcast semi-join here; a pruned partition read when the
+    // banded index is stored bucket-partitioned). Standing-standing pairs
+    // are already contracted inside idx.clusters, so buckets the batch
+    // never touches cannot contribute an edge. Sub-bucketing uses the
+    // union census restricted to touched buckets — identical splits to a
+    // full union re-band on every bucket the probe can reach, so the fold
+    // stays EXACTLY equal to the former corpus-scale plan (and to batch
+    // survivors() under the declared no-oversized-bucket assumption).
+    // localCheckpoint: the batch band table feeds three consumers (delta
+    // census, probe side, build side).
+    val bBanded = bandedSigs(bSigs, nBands, idx.rowsPerBand)
+      .localCheckpoint(true)
+    val delta = bBanded.groupBy("bucket").agg(count(lit(1)).as("dsz"))
+    val touched = delta.join(idx.bucketSizes, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (coalesce(col("bsz"), lit(0L)) + col("dsz")).as("bsz"))
+    val standingTouched = idx.banded
+      .join(broadcast(delta.select("bucket")), Seq("bucket"), "left_semi")
+    val probeSide = capBucketsWith(bBanded, touched, idx.maxBucket)
+    val buildSide = capBucketsWith(
+      standingTouched.unionByName(bBanded), touched, idx.maxBucket)
+    val near = probeSide
       .select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-      .join(banded.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b")),
+      .join(buildSide.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("bucket"))
       .where(col("id_a") =!= col("id_b"))
       .withColumn("est_jaccard", sigAgreement(idx.nHashes))

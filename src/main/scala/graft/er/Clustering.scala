@@ -436,15 +436,24 @@ object Clustering {
     * broadcasts, so the only node-scale work is two narrow passes over
     * the assignment table (probe + relabel) — no wide exchange at any
     * width. Everything else is batch-scale. The broadcasts assume the
-    * batch ≪ corpus (the incremental premise); for a batch approaching
-    * corpus scale, re-run batch [[connectedComponents]] on the edge union
-    * instead — the crossover is roughly where the batch no longer fits a
-    * broadcast. */
+    * batch ≪ corpus (the incremental premise); `broadcastMaxEndpoints`
+    * GUARDS that premise: when the batch's distinct endpoints exceed it
+    * (a catch-up or bootstrap-sized batch), the broadcast-probe plan
+    * would silently become a multi-GB broadcast (executor OOM), so the
+    * fold degrades to batch CC over the union graph instead —
+    * result-identical, because the standing assignment's (id, cluster)
+    * rows ARE a star edge set with the same connectivity (labels are
+    * component minima, so min-label CC over {assignment stars ∪ new
+    * edges} assigns exactly the min member id of every union component;
+    * ClusteringSpec drives both regimes to equal assignments). The
+    * default (5M endpoints ≈ 40 MB of packed longs) marks the crossover
+    * where two corpus-scale wide passes beat a giant broadcast. */
   def incrementalClusters(
       spark: SparkSession,
       oldClusters: DataFrame,
       newEdges: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      broadcastMaxEndpoints: Long = 5000000L): DataFrame = {
     val oc = oldClusters.select(col("id").cast("long"), col("cluster").cast("long"))
     val e = newEdges
       .select(col("a").cast("long"), col("b").cast("long"))
@@ -452,6 +461,11 @@ object Clustering {
     val endpoints = e
       .select(explode(array(col("a"), col("b"))).as("id"))
       .distinct()
+    // the guard's count is one batch-scale aggregation — cheap next to
+    // the fold itself, and the price of never OOMing an executor on a
+    // mis-sized batch
+    if (endpoints.count() > broadcastMaxEndpoints)
+      return incrementalViaBatchCc(spark, oc, e, endpoints, checkpointDir)
     // touched old rows: ONE narrow scan of the node-scale table probing
     // the broadcast batch ids; eagerly truncated (it is batch-scale) so
     // the three consumers below don't re-scan the assignment table
@@ -485,6 +499,33 @@ object Clustering {
       .join(broadcast(cc), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     oldPart.unionAll(newPart)
+  }
+
+  /** The guarded fallback of [[incrementalClusters]] for batches too big
+    * to broadcast: batch CC over {standing-assignment star edges ∪ new
+    * edges}. Exact by the same min-label argument — each (id, cluster)
+    * assignment row with id ≠ cluster is an edge of a star whose center
+    * is the component minimum, so the union graph has the same connected
+    * components (and hence the same min labels) as {old edges ∪ new
+    * edges}. Every stage here is corpus-scale but narrow/shuffle-bounded
+    * (the regime where that is unavoidable): one CC over the union and
+    * one distinct over the id universe. */
+  private def incrementalViaBatchCc(
+      spark: SparkSession,
+      oc: DataFrame,
+      e: DataFrame,
+      endpoints: DataFrame,
+      checkpointDir: Option[String]): DataFrame = {
+    val starEdges = oc.where(col("id") =!= col("cluster"))
+      .select(col("id").as("a"), col("cluster").as("b"))
+    val cc = connectedComponents(
+      spark, starEdges.unionAll(e), checkpointDir = checkpointDir)
+    // universe = old ids ∪ batch endpoints (singleton old ids must keep
+    // their row; unionAll + distinct — both inputs are already distinct,
+    // so this is one dedup shuffle over the id universe)
+    oc.select(col("id")).unionAll(endpoints.select(col("id"))).distinct()
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Cluster assignment for every mention id in `ids` (singletons become

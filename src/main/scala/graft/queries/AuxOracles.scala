@@ -255,18 +255,18 @@ object AuxOracles {
     * replays), so this derivation only trusts tables the gate already
     * proved hash-exact. */
   def annRecallSql: String =
-    """WITH b AS (SELECT query_id, nbr_id FROM '{OUT}/ann_brute_topk/*.parquet'),
+    s"""WITH b AS (SELECT query_id, nbr_id FROM '{OUT}/ann_brute_topk/*.parquet'),
       |q AS (SELECT DISTINCT query_id FROM b),
       |l AS (SELECT query_id, nbr_id FROM '{OUT}/ann_lsh_topk/*.parquet'),
       |i AS (SELECT query_id, nbr_id FROM '{OUT}/ann_ivf_topk/*.parquet'),
       |lm AS (SELECT query_id, count(*) AS m FROM l JOIN b USING (query_id, nbr_id) GROUP BY 1),
       |im AS (SELECT query_id, count(*) AS m FROM i JOIN b USING (query_id, nbr_id) GROUP BY 1)
       |SELECT 'lsh' AS method, q.query_id,
-      |  CAST(coalesce(lm.m, 0) AS BIGINT) AS n_matched, CAST(5 AS BIGINT) AS k
+      |  CAST(coalesce(lm.m, 0) AS BIGINT) AS n_matched, CAST(${TrainingDataQueries.AnnK} AS BIGINT) AS k
       |FROM q LEFT JOIN lm USING (query_id)
       |UNION ALL
       |SELECT 'ivf' AS method, q.query_id,
-      |  CAST(coalesce(im.m, 0) AS BIGINT) AS n_matched, CAST(5 AS BIGINT) AS k
+      |  CAST(coalesce(im.m, 0) AS BIGINT) AS n_matched, CAST(${TrainingDataQueries.AnnK} AS BIGINT) AS k
       |FROM q LEFT JOIN im USING (query_id)""".stripMargin
 
   /** Per-source cap replay: splitmix64(doc_id) regenerated in SQL as
@@ -279,7 +279,7 @@ object AuxOracles {
     s"""WITH h AS (SELECT doc_id, source, ${splitmixInline("doc_id")} AS z FROM documents),
        |r AS (SELECT doc_id, source,
        |        row_number() OVER (PARTITION BY source ORDER BY z) AS rnk FROM h)
-       |SELECT doc_id, source, rnk <= 8 AS kept FROM r""".stripMargin
+       |SELECT doc_id, source, rnk <= ${TrainingDataQueries.SourceCapN} AS kept FROM r""".stripMargin
 
   /** Pair-universe replay: the self-join on the dumped SUB-BUCKETED
     * blocking relation reproduces the engine's candidate pairs exactly
@@ -511,15 +511,15 @@ object AuxOracles {
        |  SELECT q.id AS query_id, q.v AS qv, ce.c AS cell,
        |         row_number() OVER (PARTITION BY q.id
        |           ORDER BY list_cosine_similarity(ce.v, q.v) DESC, ce.c ASC) AS prn
-       |  FROM (SELECT id, v FROM samp WHERE id < 20) q, cent3 ce),
-       |probes AS (SELECT query_id, qv, cell FROM qprobe WHERE prn <= 4),
+       |  FROM (SELECT id, v FROM samp WHERE id < ${TrainingDataQueries.AnnQueryMax}) q, cent3 ce),
+       |probes AS (SELECT query_id, qv, cell FROM qprobe WHERE prn <= ${TrainingDataQueries.AnnNProbe}),
        |cand AS (
        |  SELECT p.query_id, c.nbr_id,
        |         row_number() OVER (PARTITION BY p.query_id
        |           ORDER BY list_cosine_similarity(p.qv, c.cv) DESC, c.nbr_id ASC) AS rank
        |  FROM probes p JOIN corpus_cells c ON p.cell = c.cell
        |  WHERE c.nbr_id <> p.query_id)
-       |SELECT query_id, rank, nbr_id FROM cand WHERE rank <= 5""".stripMargin
+       |SELECT query_id, rank, nbr_id FROM cand WHERE rank <= ${TrainingDataQueries.AnnK}""".stripMargin
 
   /** LSH ANN replay: identical plane/signature machinery to
     * ddEmbeddingDupsSql (same seed-42 hyperplanes), query side restricted
@@ -549,12 +549,12 @@ object AuxOracles {
        |           FROM sigs, range(4) band),
        |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS nbr_id
        |         FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket AND q.id <> c.id
-       |         WHERE q.id < 20),
+       |         WHERE q.id < ${TrainingDataQueries.AnnQueryMax}),
        |ranked AS (SELECT query_id, nbr_id,
        |             row_number() OVER (PARTITION BY query_id
        |               ORDER BY list_cosine_similarity(a.v, b.v) DESC, nbr_id ASC) AS rank
        |           FROM cand JOIN vecs a ON cand.query_id = a.id JOIN vecs b ON cand.nbr_id = b.id)
-       |SELECT query_id, rank, nbr_id FROM ranked WHERE rank <= 5""".stripMargin
+       |SELECT query_id, rank, nbr_id FROM ranked WHERE rank <= ${TrainingDataQueries.AnnK}""".stripMargin
 
   /** Unsigned decimal rendering of a Scala hex literal — every 64-bit
     * constant in these oracles is DERIVED from the same hex the engine
@@ -745,12 +745,13 @@ object AuxOracles {
     * by list_cosine_similarity under the same (cosine DESC, nbr ASC) total
     * order the engine uses. */
   val annBruteTopkSql: String =
-    """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),
+    s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |           WHERE vec_id < ${TrainingDataQueries.AnnQueryMax}),
       |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       |SELECT query_id, rank, nbr_id FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
       |         row_number() OVER (PARTITION BY q.vec_id
       |           ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
       |  FROM q, c WHERE c.vec_id <> q.vec_id)
-      |WHERE rank <= 5""".stripMargin
+      |WHERE rank <= ${TrainingDataQueries.AnnK}""".stripMargin
 }

@@ -19,6 +19,17 @@ import graft.text.TextAnalysis
   * agreement, codec round-trips). */
 object TrainingDataQueries {
 
+  /** Shared catalog parameters, interpolated into BOTH the engine call
+    * sites below and the DuckDB oracle SQL in [[AuxOracles]] (annRecallSql,
+    * annIvfTopkSql, annLshTopkSql, annBruteTopkSql, taSourceCapSql) — one
+    * source of truth, so a retune cannot silently desynchronize the gate
+    * (the GopherFilter.Thresholds / Extract.DateRePattern rule). */
+  private[graft] val AnnK = 5
+  private[graft] val AnnNProbe = 4
+  /** Query set = vec_id < AnnQueryMax (the catalog's fixed probe set). */
+  private[graft] val AnnQueryMax = 20
+  private[graft] val SourceCapN = 8
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -94,7 +105,7 @@ object TrainingDataQueries {
         shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
         minJaccard = MhMinJaccard, maxBucket = Dedup.DefaultMaxBucket,
         cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))) { idx =>
-      Seq(idx.hashed, idx.sigs, idx.groups, idx.clusters)
+      idx.frames
         .foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
     }
 
@@ -127,14 +138,14 @@ object TrainingDataQueries {
   def annBruteTopk(spark: SparkSession, dir: String): DataFrame =
     annShared(spark, dir, "brute") {
       val e = embs(spark, dir)
-      Ann.bruteForceTopK(e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+      Ann.bruteForceTopK(e, e.where(col("vec_id") < AnnQueryMax), "vec_id", "embedding", k = AnnK)
         .drop("cosine") // rank list only: float formatting stays out of outputs
     }
 
   def annLshTopk(spark: SparkSession, dir: String): DataFrame =
     annShared(spark, dir, "lsh") {
       val e = embs(spark, dir)
-      Ann.lshTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+      Ann.lshTopK(spark, e, e.where(col("vec_id") < AnnQueryMax), "vec_id", "embedding", k = AnnK,
         nBits = 16, bandBits = 4).drop("cosine")
     }
 
@@ -143,8 +154,8 @@ object TrainingDataQueries {
       val e = embs(spark, dir)
       // nLists auto-derived (~sqrt(corpus)) so the index keeps cell
       // populations bounded at any sf (Ann.autoNLists doc)
-      Ann.ivfTopK(spark, e, e.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
-        nProbe = 4).drop("cosine")
+      Ann.ivfTopK(spark, e, e.where(col("vec_id") < AnnQueryMax), "vec_id", "embedding", k = AnnK,
+        nProbe = AnnNProbe).drop("cosine")
     }
 
   /** Recall@k of the approximate ANN tiers against the exact brute-force
@@ -159,7 +170,7 @@ object TrainingDataQueries {
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val brute = annBruteTopk(spark, dir)
     def tagged(approx: DataFrame, method: String): DataFrame =
-      Ann.recallCounts(approx, brute, k = 5)
+      Ann.recallCounts(approx, brute, k = AnnK)
         .select(lit(method).as("method"), col("query_id"), col("n_matched"), col("k"))
     tagged(annLshTopk(spark, dir), "lsh")
       .unionByName(tagged(annIvfTopk(spark, dir), "ivf"))
@@ -201,7 +212,7 @@ object TrainingDataQueries {
     * has ≤ 8). Threshold-based, window-free plan — see
     * [[graft.curate.SourceCap.sourceCap]] for the scale shape. */
   def taSourceCap(spark: SparkSession, dir: String): DataFrame =
-    SourceCap.sourceCap(docs(spark, dir), n = 8)
+    SourceCap.sourceCap(docs(spark, dir), n = SourceCapN)
 
   def taFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

@@ -196,9 +196,12 @@ object Streaming {
     *     also idempotent by CC semantics (already-merged edges collapse to
     *     self-loops), so even a missed skip cannot corrupt state.
     *   - `_LATEST` is temp-file + rename (same protocol as the CC round
-    *     manifests); a crash between the version write and the pointer
-    *     rename leaves `_LATEST` on the previous version, which is why the
-    *     previous version dir is retained and only OLDER ones are pruned.
+    *     manifests); a crash before the pointer delete leaves `_LATEST` on
+    *     the previous version (which is why that dir is retained and only
+    *     OLDER ones are pruned), and a crash between the delete and the
+    *     rename is recovered by readLatest's fallback scan over the
+    *     per-version `_GRAFT_COMMITTED` markers — no crash window loses
+    *     state (StreamingSpec "recovers from a missing _LATEST pointer").
     *
     * Scale shape: per micro-batch cost = batch-scale CC + one narrow read
     * + one narrow write of the node-scale assignment (the broadcast-probe
@@ -232,12 +235,43 @@ object Streaming {
 
     def versionPath(v: Long): String = new Path(root, f"v_$v%012d").toString
 
-    def readLatest(): Option[Long] =
-      try {
-        val in = fs.open(latestPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        Some(txt.trim.toLong)
-      } catch { case _: Exception => None }
+    /** Per-version commit marker, written AFTER the Parquet version lands
+      * and BEFORE the pointer swap: a version dir without it is an
+      * in-flight write and never a recovery target. Underscore-prefixed so
+      * Spark's file index skips it (the CC `_MANIFEST` rule). Our own
+      * marker, not Spark's `_SUCCESS` — that one is config-dependent
+      * (mapreduce …marksuccessfuljobs) and lands mid-commit. */
+    private def markerPath(v: Long) = new Path(new Path(versionPath(v)), "_GRAFT_COMMITTED")
+
+    def readLatest(): Option[Long] = {
+      val viaPointer =
+        try {
+          val in = fs.open(latestPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          Some(txt.trim.toLong)
+        } catch { case _: Exception => None }
+      // No pointer: either a fresh dir (no versions → None) or a crash
+      // landed between the pointer delete and the rename in commit() —
+      // fall back to the newest COMPLETE (marker-carrying) version instead
+      // of silently restarting from empty state, which would make the next
+      // fold treat its batch as the first one and prune every retained
+      // version (total state loss).
+      viaPointer.orElse {
+        try {
+          if (!fs.exists(root)) None
+          else {
+            val committed = fs.listStatus(root).flatMap { st =>
+              val n = st.getPath.getName
+              if (st.isDirectory && n.startsWith("v_"))
+                scala.util.Try(n.drop(2).toLong).toOption
+                  .filter(v => fs.exists(markerPath(v)))
+              else None
+            }
+            if (committed.isEmpty) None else Some(committed.max)
+          }
+        } catch { case _: Exception => None }
+      }
+    }
 
     def read(v: Long): DataFrame = spark.read.parquet(versionPath(v))
 
@@ -250,10 +284,16 @@ object Streaming {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
-    /** Write `df` as version `batchId`, atomically advance `_LATEST`,
-      * prune versions older than the previous one. */
+    /** Write `df` as version `batchId` (+ commit marker), advance
+      * `_LATEST`, prune versions older than the previous one. The pointer
+      * swap is delete + rename — not atomic on its own, which is why
+      * readLatest() recovers from the marker scan when the pointer is
+      * missing: every crash window leaves either the old pointer (version
+      * re-foldable / skippable) or a marker-complete newest version. */
     def commit(batchId: Long, df: DataFrame, prev: Option[Long]): Unit = {
       df.write.mode("overwrite").parquet(versionPath(batchId))
+      val mk = fs.create(markerPath(batchId), true)
+      try mk.write("ok".getBytes("UTF-8")) finally mk.close()
       val tmp = new Path(root, "_LATEST.tmp")
       val out = fs.create(tmp, true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()

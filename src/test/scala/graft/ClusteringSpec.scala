@@ -222,6 +222,36 @@ class ClusteringSpec extends AnyFunSuite {
     assert(runIncremental(ids, oldE, Seq((1L, 3L), (2L, 3L))) == batchAssign(ids, oldE))
   }
 
+  test("broadcast-size guard: the batch-CC fallback regime equals the broadcast regime") {
+    import spark.implicits._
+    // round-6 advice: a catch-up/bootstrap-sized batch must degrade to
+    // batch CC over the union instead of a corpus-scale broadcast.
+    // threshold 0 forces the fallback on the same fixtures the broadcast
+    // path is proven on; both regimes must assign identically.
+    val rng = new scala.util.Random(6406)
+    (0 until 4).foreach { round =>
+      val all = (0 until (20 + rng.nextInt(80))).flatMap { _ =>
+        val a = rng.nextLong(40L); val b = rng.nextLong(40L)
+        if (a != b) Some((a, b)) else None
+      }
+      val (oldE, newE) = all.partition(_ => rng.nextDouble() < 0.5)
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val ids = (oldE.flatMap(e => Seq(e._1, e._2)) ++ Seq(0L)).distinct
+        val standing = Clustering.assign(spark, ids.toDF("id"), oldE.toDF("a", "b"))
+        val broadcastRegime = Clustering
+          .incrementalClusters(spark, standing, newE.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val fallbackRegime = Clustering
+          .incrementalClusters(spark, standing, newE.toDF("a", "b"),
+            broadcastMaxEndpoints = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(fallbackRegime == broadcastRegime, s"round $round")
+        assert(fallbackRegime ==
+          batchAssign((ids ++ newE.flatMap(e => Seq(e._1, e._2))).distinct, oldE ++ newE))
+      }
+    }
+  }
+
   test("property: incremental CC equals batch CC on random graphs and random splits (seeded)") {
     val rng = new scala.util.Random(4242)
     (0 until 6).foreach { round =>

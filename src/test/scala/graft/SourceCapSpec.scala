@@ -78,6 +78,23 @@ class SourceCapSpec extends AnyFunSuite {
     assert(keptDocs === wantDocs)
   }
 
+  test("an in-partition duplicate of the smallest-hash doc cannot eat a cap slot") {
+    // round-6 advice: the partition-local fold used to let a re-delivered
+    // (source, id) row occupy TWO top-n slots, evicting a legitimate keeper
+    // (the earlier re-delivery test passed only because repartition
+    // separated the copies). coalesce(1) forces both copies into one
+    // partition; the duplicate targets the smallest-hash doc, the one the
+    // fold holds longest.
+    val ids = (0L until 6L)
+    val smallest = ids.minBy(id => Synth.splitmix64(id) ^ Long.MinValue)
+    val rows = ids.map((_, "s")) :+ ((smallest, "s"))
+    val got = SourceCap.sourceCap(rows.toDF("doc_id", "source").coalesce(1), 3)
+    val keptDocs = got.where(col("kept")).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keptDocs.size === 3, s"duplicate ate a cap slot: kept $keptDocs")
+    assert(keptDocs === reference(ids.map((_, "s")), 3).filter(_._2).keySet)
+  }
+
   test("deterministic under parallelism: identical kept set at 1, 4, 17 partitions") {
     val rows = (0 until 300).map(i => (i.toLong, "s" + i % 11))
     val a = run(rows, 5, 1)

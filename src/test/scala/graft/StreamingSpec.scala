@@ -240,6 +240,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(vDirs.length <= 2, s"stale versions not pruned: ${vDirs.mkString(",")}")
   }
 
+  test("versioned state recovers from a missing _LATEST pointer (crash between delete and rename)") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("cc_state_crash").toString
+    // two committed folds: {1,2} then merge via 2-3
+    Streaming.foldClusterBatch(Seq((1L, 2L)).toDF("a", "b"), stateDir, 0L)
+    Streaming.foldClusterBatch(Seq((2L, 3L)).toDF("a", "b"), stateDir, 1L)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    def cur() = Streaming.currentClusters(spark, stateDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cur() == want)
+    // simulate the crash window: pointer deleted, rename never happened
+    val latest = new java.io.File(stateDir, "_LATEST")
+    assert(latest.delete(), "fixture: _LATEST must exist to delete")
+    // debris: an in-flight version dir WITHOUT the commit marker must be
+    // ignored by the fallback scan
+    assert(new java.io.File(stateDir, "v_000000000007").mkdir())
+    // fallback: newest marker-complete version, NOT empty state
+    assert(cur() == want, "missing pointer lost the standing state")
+    // the next fold resumes FROM the recovered version (batch 2 merges
+    // 3-4; a from-scratch refold would know nothing about 1-2-3)
+    Streaming.foldClusterBatch(Seq((3L, 4L)).toDF("a", "b"), stateDir, 2L)
+    assert(cur() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(new java.io.File(stateDir, "_LATEST").exists(), "pointer not restored")
+    // a replay below the recovered version is still skipped
+    Streaming.foldClusterBatch(Seq((4L, 999L)).toDF("a", "b"), stateDir, 1L)
+    assert(cur() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("streaming source-cap maintenance: two-wave fold equals batch cap; eviction and replay") {
     import spark.implicits._
     val docsDir = Files.createTempDirectory("scap_stream_docs").toString

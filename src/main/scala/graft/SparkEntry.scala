@@ -73,6 +73,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> (TrainingDataQueries.ddSimhashPairs(_, _)),
     "dd_embedding_dups" -> (TrainingDataQueries.ddEmbeddingDups(_, _)),
     "dd_survivors" -> (TrainingDataQueries.ddSurvivors(_, _)),
+    "dd_survivors_full" -> (TrainingDataQueries.ddSurvivorsFull(_, _)),
     "dd_survivors_incr" -> (TrainingDataQueries.ddSurvivorsIncr(_, _)),
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
     "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
@@ -83,6 +84,8 @@ object SparkEntry {
     "ta_repetition" -> (TrainingDataQueries.taRepetition(_, _)),
     "ta_source_cap" -> (TrainingDataQueries.taSourceCap(_, _)),
     "ta_gopher_filter" -> (TrainingDataQueries.taGopherFilter(_, _)),
+    "ta_gopher_charfrac" -> (TrainingDataQueries.taGopherCharfrac(_, _)),
+    "curate_pipeline" -> (TrainingDataQueries.curatePipeline(_, _)),
     "ta_token_counts" -> (TrainingDataQueries.taTokenCounts(_, _)),
     "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
     "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
@@ -198,7 +201,12 @@ object SparkEntry {
     "ta_source_cap" -> AuxOracles.taSourceCapSql,
     "ann_recall" -> AuxOracles.annRecallSql,
     "ta_gopher_filter" -> AuxOracles.taGopherFilterSql,
+    "ta_gopher_charfrac" -> AuxOracles.taGopherCharfracSql,
+    // fused pipeline + fused survivors: composition oracles over
+    // independently-gated dumps (the ann_recall non-circularity pattern)
+    "curate_pipeline" -> AuxOracles.curatePipelineSql,
     "dd_survivors" -> AuxOracles.ddSurvivorsSql,
+    "dd_survivors_full" -> AuxOracles.ddSurvivorsFullSql,
     // incremental dedup maintenance must be EXACT: the oracle is the
     // batch-survivors SQL over the FULL documents table, so equality
     // proves the fold reproduces batch dedup over the union

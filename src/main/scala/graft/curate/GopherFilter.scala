@@ -68,4 +68,57 @@ object GopherFilter {
       dup5Ok.as("dup_5gram_ok"),
       (lengthOk && wordLenOk && topBiOk && topTriOk && dup5Ok).as("keep"))
   }
+
+  /** CHARACTER-fraction percent caps for [[gopherFilterCharFrac]] — the
+    * published rule's native unit (Rae et al. 2021 threshold the fraction
+    * of characters in the top n-gram / in duplicated n-grams). Defaults
+    * mirror [[Thresholds]]' occurrence caps. */
+  final case class CharThresholds(
+      minTokens: Long = 25,
+      maxTokens: Long = 100000,
+      minMeanWordChars: Long = 3,
+      maxMeanWordChars: Long = 12,
+      topBigramCharPct: Long = 20,
+      topTrigramCharPct: Long = 18,
+      dup5gramCharPct: Long = 30)
+
+  /** The CHARACTER-fraction variant of [[gopherFilter]] (round-6): the
+    * top-bigram/trigram and dup-5-gram rules threshold the n-grams'
+    * character mass against the document's character count
+    * (`num_chars * 100 <= n_chars * pct`, integer-exact), per the
+    * published rule; [[gopherFilter]]'s occurrence fractions remain the
+    * default tier. Numerators from
+    * [[TextAnalysis.repetitionCharColumns]] (occurrence-weighted char
+    * mass — the declared convention); length and word-length rules are
+    * unchanged. Same output schema as [[gopherFilter]], so the two tiers
+    * are drop-in interchangeable. Pure scan, shuffle-free. */
+  def gopherFilterCharFrac(
+      docs: DataFrame,
+      t: CharThresholds = CharThresholds(),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nCharsCol: String = "n_chars"): DataFrame = {
+    val cols = TextAnalysis.repetitionCharColumns(col(textCol)) :+
+      ("n_tokens" -> size(split(col(textCol), " ")).cast("long"))
+    val base = cols.foldLeft(docs.select(col(idCol), col(textCol), col(nCharsCol))) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    def fracOk(num: Column, pct: Long): Column =
+      col(nCharsCol) === 0L || num * 100L <= col(nCharsCol) * pct
+    val lengthOk = col("n_tokens") >= t.minTokens && col("n_tokens") <= t.maxTokens
+    val wordLenOk = lit(t.minMeanWordChars) * col("n_tokens") <= col(nCharsCol) &&
+      col(nCharsCol) <= lit(t.maxMeanWordChars) * col("n_tokens")
+    val topBiOk = fracOk(col("top_bigram_chars"), t.topBigramCharPct)
+    val topTriOk = fracOk(col("top_trigram_chars"), t.topTrigramCharPct)
+    val dup5Ok = fracOk(col("dup_5gram_chars"), t.dup5gramCharPct)
+    base.select(
+      col(idCol),
+      col("n_tokens"),
+      lengthOk.as("length_ok"),
+      wordLenOk.as("word_len_ok"),
+      topBiOk.as("top_bigram_ok"),
+      topTriOk.as("top_trigram_ok"),
+      dup5Ok.as("dup_5gram_ok"),
+      (lengthOk && wordLenOk && topBiOk && topTriOk && dup5Ok).as("keep"))
+  }
 }

@@ -347,18 +347,29 @@ object Dedup {
 
   /** The deliverable a training-data pipeline actually consumes: a
     * keep/drop DECISION per document, not candidate pairs. Exact and
-    * MinHash duplicate edges are unioned, closed transitively (connected
-    * components — a near-dup of a near-dup is the same document family),
-    * and each family keeps its minimum id.
+    * MinHash duplicate edges — plus, optionally, asymmetric CONTAINMENT
+    * edges (a short doc quoted inside a longer one: high containment,
+    * low Jaccard — the boilerplate-expansion case the symmetric tiers
+    * miss) — are unioned, closed transitively (connected components — a
+    * near-dup of a near-dup is the same document family), and each
+    * family keeps its minimum id.
     *
     * Output: (id, survivor_id, tier) for EVERY input row —
-    *   tier = "keep"  : id == survivor_id (the family representative;
-    *                    singletons keep themselves)
-    *   tier = "exact" : dropped, byte-identical to at least one other doc
-    *   tier = "near"  : dropped, connected only through near-dup edges.
+    *   tier = "keep"      : id == survivor_id (the family representative;
+    *                        singletons keep themselves)
+    *   tier = "exact"     : dropped, byte-identical to at least one other doc
+    *   tier = "contained" : dropped, a containment VICTIM (its token set
+    *                        is ≥-threshold contained in some other doc) —
+    *                        directional: the contained doc drops, its
+    *                        container stays eligible to keep
+    *   tier = "near"      : dropped, connected through near-dup (or
+    *                        container-side containment) edges only.
+    * Tier precedence keep > exact > contained > near: byte-identity is
+    * the strongest (and cheapest to re-verify) evidence, so it wins the
+    * label even when a doc is also a containment victim.
     *
     * Deterministic and partitioning-invariant: survivor = min id of the
-    * component; both edge tiers and the CC are order-independent.
+    * component; all edge tiers and the CC are order-independent.
     *
     * Scale shape: one content-hash shuffle (exact tier), the bucketed
     * MinHash pipeline (near tier, bounded buckets), one CC over match
@@ -379,7 +390,8 @@ object Dedup {
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
-      nearPairs: Option[NearPairTable] = None): DataFrame = {
+      nearPairs: Option[NearPairTable] = None,
+      containmentPairs: Option[DataFrame] = None): DataFrame = {
     nearPairs.foreach { np =>
       require(
         np.shingleK == shingleK && np.nHashes == nHashes &&
@@ -411,15 +423,31 @@ object Dedup {
       .getOrElse(minhashPairs(df, idCol, textCol, shingleK, nHashes,
         rowsPerBand, minJaccard, maxBucket))
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    val cc = graft.er.Clustering.connectedComponents(
-      spark, exactEdges.unionByName(nearEdges))
-    withG
-      .join(cc, Seq("id"), "left")
+    // containmentPairs: (doc_a = the CONTAINED doc, doc_b = its container)
+    // — e.g. graft.queries.Queries.containmentPairs. Edges join the two
+    // into one family; the victim flag drives the "contained" tier.
+    val contEdges = containmentPairs.map(
+      _.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val edges = contEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _)
+    val cc = graft.er.Clustering.connectedComponents(spark, edges)
+    // containment victims (pair-table scale, distinct doc ids ≤ corpus):
+    // flagged via a left join, NOT a broadcast hint — victim volume is
+    // corpus-derived (the no-forced-broadcast audit rule); AQE broadcasts
+    // it from runtime stats while it fits
+    val victims = containmentPairs.map(
+      _.select(col("doc_a").as("id")).distinct().withColumn("is_contained", lit(true)))
+    val base = victims.foldLeft(withG.join(cc, Seq("id"), "left"))(
+      (d, v) => d.join(v, Seq("id"), "left"))
+    val contained =
+      if (containmentPairs.isDefined) coalesce(col("is_contained"), lit(false))
+      else lit(false)
+    base
       .withColumn("survivor_id", coalesce(col("cluster"), col("id")))
       .withColumn(
         "tier",
         when(col("survivor_id") === col("id"), lit("keep"))
           .when(col("has_exact"), lit("exact"))
+          .when(contained, lit("contained"))
           .otherwise(lit("near")))
       .select(col("id"), col("survivor_id"), col("tier"))
   }

@@ -248,6 +248,74 @@ object AuxOracles {
       |FROM reps r JOIN documents doc USING (doc_id)""".stripMargin
   }
 
+  /** Character-fraction Gopher replay (ta_gopher_charfrac): char-mass
+    * numerators re-derived relationally from the shared repetition CTEs —
+    * top n-gram char mass = max(count × length(ngram)), duplicated-5-gram
+    * char mass = sum(count × length(ngram)) over counts > 1 (both count
+    * code points, as the engine's length() does) — then the identical
+    * integer cross-multiplication rules against documents.n_chars.
+    * Thresholds interpolated from GopherFilter.CharThresholds(). */
+  def taGopherCharfracSql: String = {
+    val t = graft.curate.GopherFilter.CharThresholds()
+    s"""WITH $repetitionCtes,
+      |t2c AS (SELECT doc_id, max(c * length(ng)) AS topc FROM b2 GROUP BY doc_id),
+      |t3c AS (SELECT doc_id, max(c * length(ng)) AS topc FROM b3 GROUP BY doc_id),
+      |d5c AS (SELECT doc_id, sum(c * length(ng)) FILTER (WHERE c > 1) AS dupc FROM b5 GROUP BY doc_id)
+      |SELECT r.doc_id, r.n_tokens,
+      |  (r.n_tokens >= ${t.minTokens} AND r.n_tokens <= ${t.maxTokens}) AS length_ok,
+      |  (${t.minMeanWordChars} * r.n_tokens <= doc.n_chars
+      |    AND doc.n_chars <= ${t.maxMeanWordChars} * r.n_tokens) AS word_len_ok,
+      |  (doc.n_chars = 0 OR coalesce(t2c.topc, 0) * 100 <= doc.n_chars * ${t.topBigramCharPct}) AS top_bigram_ok,
+      |  (doc.n_chars = 0 OR coalesce(t3c.topc, 0) * 100 <= doc.n_chars * ${t.topTrigramCharPct}) AS top_trigram_ok,
+      |  (doc.n_chars = 0 OR coalesce(d5c.dupc, 0) * 100 <= doc.n_chars * ${t.dup5gramCharPct}) AS dup_5gram_ok,
+      |  (length_ok AND word_len_ok AND top_bigram_ok
+      |    AND top_trigram_ok AND dup_5gram_ok) AS keep
+      |FROM reps r JOIN documents doc USING (doc_id)
+      |LEFT JOIN t2c USING (doc_id) LEFT JOIN t3c USING (doc_id)
+      |LEFT JOIN d5c USING (doc_id)""".stripMargin
+  }
+
+  /** Fused curation-pipeline replay (curate_pipeline): stage 1 from the
+    * gated ta_gopher_filter dump; stage 2 re-derives survivors over the
+    * stage-1 subset (exact groups recomputed, near/containment = the
+    * gated pair dumps restricted to survivors — the engine's declared
+    * semantics); stage 3 replays the per-source cap (splitmix64 HUGEINT)
+    * over the dedup keepers. Verdict = first dropping stage. */
+  def curatePipelineSql: String =
+    s"""WITH RECURSIVE
+      |gf AS (SELECT doc_id, keep FROM '{OUT}/ta_gopher_filter/*.parquet'),
+      |s1 AS (SELECT doc_id FROM gf WHERE keep),
+      |d AS (SELECT doc_id AS id, md5(text) AS h FROM documents JOIN s1 USING (doc_id)),
+      |g AS (SELECT h, min(id) AS gmin, count(*) AS gsz FROM d GROUP BY h),
+      |exact_e AS (SELECT d.id AS a, g.gmin AS b FROM d JOIN g ON d.h = g.h WHERE d.id <> g.gmin),
+      |near_e AS (SELECT id_a AS a, id_b AS b FROM '{OUT}/dd_minhash_pairs/*.parquet'
+      |           WHERE id_a IN (SELECT doc_id FROM s1) AND id_b IN (SELECT doc_id FROM s1)),
+      |cont AS (SELECT doc_a, doc_b FROM '{OUT}/dd_containment_pairs/*.parquet'
+      |         WHERE doc_a IN (SELECT doc_id FROM s1) AND doc_b IN (SELECT doc_id FROM s1)),
+      |e AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e
+      |      UNION SELECT doc_a AS a, doc_b AS b FROM cont),
+      |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      |lab(n, m) AS (
+      |  SELECT greatest(a, b) AS n, least(a, b) AS m FROM e
+      |  UNION
+      |  SELECT u.b AS n, l.m FROM lab l JOIN und u ON l.n = u.a WHERE l.m < u.b),
+      |mn AS (SELECT n, min(m) AS m FROM lab GROUP BY n),
+      |s2 AS (SELECT d.id AS doc_id FROM d LEFT JOIN mn ON d.id = mn.n
+      |       WHERE coalesce(mn.m, d.id) = d.id),
+      |hh AS (SELECT doc.doc_id, doc.source, ${splitmixInline("doc.doc_id")} AS z
+      |       FROM documents doc JOIN s2 USING (doc_id)),
+      |rr AS (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY z) AS rnk FROM hh),
+      |capk AS (SELECT doc_id FROM rr WHERE rnk <= ${TrainingDataQueries.SourceCapN})
+      |SELECT doc.doc_id,
+      |  CASE WHEN gf.keep IS NOT TRUE THEN 'gopher'
+      |       WHEN s2.doc_id IS NULL THEN 'dedup'
+      |       WHEN capk.doc_id IS NULL THEN 'cap'
+      |       ELSE 'keep' END AS verdict
+      |FROM documents doc
+      |LEFT JOIN gf ON doc.doc_id = gf.doc_id
+      |LEFT JOIN s2 ON doc.doc_id = s2.doc_id
+      |LEFT JOIN capk ON doc.doc_id = capk.doc_id""".stripMargin
+
   /** ANN recall replay: intersection of each approximate top-k with the
     * brute-force floor, recomputed from the three dumped top-k tables.
     * Non-circular: ann_brute_topk / ann_lsh_topk / ann_ivf_topk are each
@@ -386,6 +454,35 @@ object AuxOracles {
       |  CASE WHEN coalesce(mn.m, d.id) = d.id THEN 'keep'
       |       WHEN g.gsz > 1 THEN 'exact' ELSE 'near' END AS tier
       |FROM d JOIN g ON d.h = g.h LEFT JOIN mn ON d.id = mn.n""".stripMargin
+
+  /** Fused survivor replay (dd_survivors_full): the batch-survivors SQL
+    * extended with CONTAINMENT edges from the dd_containment_pairs dump
+    * (independently gated — the ann_recall non-circularity pattern) and
+    * the victim tier. Tier precedence mirrors Dedup.survivors exactly:
+    * keep > exact > contained > near, with the family representative
+    * still the component min id. */
+  val ddSurvivorsFullSql: String =
+    """WITH RECURSIVE d AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+      |g AS (SELECT h, min(id) AS gmin, count(*) AS gsz FROM d GROUP BY h),
+      |exact_e AS (SELECT d.id AS a, g.gmin AS b FROM d JOIN g ON d.h = g.h WHERE d.id <> g.gmin),
+      |near_e AS (SELECT id_a AS a, id_b AS b FROM '{OUT}/dd_minhash_pairs/*.parquet'),
+      |cont AS (SELECT doc_a, doc_b FROM '{OUT}/dd_containment_pairs/*.parquet'),
+      |e AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e
+      |      UNION SELECT doc_a AS a, doc_b AS b FROM cont),
+      |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      |lab(n, m) AS (
+      |  SELECT greatest(a, b) AS n, least(a, b) AS m FROM e
+      |  UNION
+      |  SELECT u.b AS n, l.m FROM lab l JOIN und u ON l.n = u.a WHERE l.m < u.b),
+      |mn AS (SELECT n, min(m) AS m FROM lab GROUP BY n),
+      |victims AS (SELECT DISTINCT doc_a AS id FROM cont)
+      |SELECT d.id, CAST(coalesce(mn.m, d.id) AS BIGINT) AS survivor_id,
+      |  CASE WHEN coalesce(mn.m, d.id) = d.id THEN 'keep'
+      |       WHEN g.gsz > 1 THEN 'exact'
+      |       WHEN v.id IS NOT NULL THEN 'contained'
+      |       ELSE 'near' END AS tier
+      |FROM d JOIN g ON d.h = g.h LEFT JOIN mn ON d.id = mn.n
+      |LEFT JOIN victims v ON d.id = v.id""".stripMargin
 
   /** 64x64→64-bit wrapping multiply as 32-bit-limb HUGEINT arithmetic
     * (a full 64x64 product can reach 2^128 and overflows INT128). */

@@ -85,6 +85,81 @@ object TrainingDataQueries {
       nearPairs = Some(Dedup.NearPairTable(minhashPairsShared(spark, dir),
         MhShingleK, MhNHashes, MhRowsPerBand, MhMinJaccard, Dedup.DefaultMaxBucket)))
 
+  /** Fused survivor table (round-6): exact + minhash + CONTAINMENT edges
+    * in one transitive verdict, with containment victims labeled
+    * "contained" (directional — the contained doc drops; its container
+    * stays eligible to keep; the family representative is still the min
+    * id, the convention every tier shares). Reuses BOTH session memos:
+    * the minhash pair table and the sorted-token table behind
+    * dd_containment_pairs. Oracle: the batch-survivors SQL extended with
+    * the independently-gated dd_containment_pairs dump. */
+  def ddSurvivorsFull(spark: SparkSession, dir: String): DataFrame =
+    Dedup.survivors(docs(spark, dir), "doc_id", "text",
+      shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
+      minJaccard = MhMinJaccard,
+      nearPairs = Some(Dedup.NearPairTable(minhashPairsShared(spark, dir),
+        MhShingleK, MhNHashes, MhRowsPerBand, MhMinJaccard, Dedup.DefaultMaxBucket)),
+      containmentPairs = Some(Queries.ddContainmentPairs(spark, dir)))
+
+  /** Fused curation pipeline (round-6 stretch): the order a
+    * MassiveText-style pipeline applies its stages —
+    *   1. Gopher quality filter (drop verdict "gopher"),
+    *   2. dedup over the quality survivors (exact + near + containment;
+    *      drop verdict "dedup"),
+    *   3. per-source cap over the dedup keepers (drop verdict "cap"),
+    * emitting ONE row per input doc with the first stage that dropped it
+    * (or "keep"). Stage 2's near/containment evidence is the CORPUS-level
+    * pair tables restricted to stage-1 survivors (the session memos — no
+    * re-shingling; a pair between two quality-dropped docs can never
+    * resurface downstream anyway), its exact groups are recomputed over
+    * the survivor subset; stage 3 ranks only dedup keepers, so a capped
+    * slot is never wasted on a doc an earlier stage already dropped.
+    * Scale shape: three scans of the corpus-scale doc table (one per
+    * stage's column pipeline), all pair work memoized, verdict assembly
+    * via id-scale joins — no new shuffle class. Oracle: the same
+    * composition over the independently-gated ta_gopher_filter /
+    * dd_minhash_pairs / dd_containment_pairs dumps + the splitmix64 cap
+    * replay. */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val dall = docs(spark, dir)
+    val g = GopherFilter.gopherFilter(dall)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val s1 = g.where(col("gopher_keep")).select("doc_id")
+    val docs1 = dall.join(s1, Seq("doc_id"), "left_semi")
+    val aIds = s1.select(col("doc_id").as("id_a"))
+    val bIds = s1.select(col("doc_id").as("id_b"))
+    val pairs1 = minhashPairsShared(spark, dir)
+      .join(aIds, Seq("id_a"), "left_semi").join(bIds, Seq("id_b"), "left_semi")
+    val cont1 = Queries.ddContainmentPairs(spark, dir)
+      .join(s1.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(s1.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val surv = Dedup.survivors(docs1, "doc_id", "text",
+      shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
+      minJaccard = MhMinJaccard,
+      nearPairs = Some(Dedup.NearPairTable(pairs1,
+        MhShingleK, MhNHashes, MhRowsPerBand, MhMinJaccard, Dedup.DefaultMaxBucket)),
+      containmentPairs = Some(cont1))
+    val s2 = surv.where(col("tier") === "keep").select(col("id").as("doc_id"))
+    val cap = SourceCap.sourceCap(
+      dall.join(s2, Seq("doc_id"), "left_semi"), n = SourceCapN)
+      .select(col("doc_id"), col("kept").as("cap_kept"))
+    dall.select("doc_id")
+      .join(g, Seq("doc_id"), "left")
+      .join(surv.select(col("id").as("doc_id"),
+        (col("tier") === "keep").as("dedup_keep")), Seq("doc_id"), "left")
+      .join(cap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("gopher_keep"), lit("gopher"))
+          .when(!col("dedup_keep"), lit("dedup"))
+          .when(!col("cap_kept"), lit("cap"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
+  /** Character-fraction Gopher tier (round-6): the published rule's
+    * native unit — see [[GopherFilter.gopherFilterCharFrac]]. */
+  def taGopherCharfrac(spark: SparkSession, dir: String): DataFrame =
+    GopherFilter.gopherFilterCharFrac(docs(spark, dir))
+
   /** The 1/4 "new crawl" split of the documents table (xxhash64 of the
     * doc id — partition-invariant); its complement is the standing corpus
     * whose dedup index is memoized in [[survivorIndexShared]]. */

@@ -140,6 +140,63 @@ object TextAnalysis {
     size(sorted).cast("long") - singles
   }
 
+  /** Max over the equal-runs of a SORTED array of (run length × element
+    * char length) — the CHARACTER mass of the most repeated element,
+    * counting every occurrence (the published Gopher top-n-gram rule
+    * thresholds the character fraction, not the occurrence fraction).
+    * Same linear codegen'd fold shape as [[sortedMaxRun]]. */
+  private[text] def sortedMaxRunChars(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run * length(t).cast("long")).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Character mass of elements appearing MORE THAN ONCE in a SORTED
+    * array: sum over duplicated-element occurrences of the element's char
+    * length (the dup-n-gram character numerator; occurrence-weighted —
+    * overlapping occurrences each count their full length, the declared
+    * variant of Gopher's no-double-count rule). Linear fold: a run's
+    * SECOND element retroactively adds the first's length. */
+  private[text] def sortedDupChars(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("chars")),
+      (acc, t) => {
+        val cont = t === acc.getField("prev")
+        val run = when(cont, acc.getField("run") + 1L).otherwise(lit(1L))
+        val add = when(!cont, lit(0L))
+          .when(run === 2L, length(t).cast("long") * 2L)
+          .otherwise(length(t).cast("long"))
+        struct(t.as("prev"), run.as("run"),
+          (acc.getField("chars") + add).as("chars"))
+      },
+      acc => acc.getField("chars"))
+
+  /** CHARACTER-fraction repetition numerators (round-6, the published
+    * Gopher rule's native unit): char mass of the top bigram/trigram and
+    * of duplicated 5-grams. Denominator = the document's n_chars (the
+    * corpus column); n-gram char length counts the joining spaces, and
+    * occurrences are counted with their full length (see
+    * [[sortedDupChars]]) — both declared conventions, pinned by the
+    * DuckDB oracle. Same map-side, shuffle-free scan shape as
+    * [[repetitionColumns]]. */
+  def repetitionCharColumns(text: Column): Seq[(String, Column)] = {
+    val toks = split(text, " ")
+    val bi = array_sort(wordNgrams(toks, 2))
+    val tri = array_sort(wordNgrams(toks, 3))
+    val five = array_sort(wordNgrams(toks, 5))
+    Seq(
+      "top_bigram_chars" -> sortedMaxRunChars(bi),
+      "top_trigram_chars" -> sortedMaxRunChars(tri),
+      "dup_5gram_chars" -> sortedDupChars(five))
+  }
+
   /** Word n-grams (space-joined) as an array column; empty when the doc
     * has fewer than n tokens. Built from sequence/transform/element_at —
     * narrow and codegen'd, no explode and no shuffle. */

@@ -295,6 +295,65 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("containment victims flip to the 'contained' tier (short doc quoted in a long one)") {
+    // round-6: the boilerplate-expansion case — a short doc fully quoted
+    // inside a longer one scores low Jaccard (invisible to the exact and
+    // minhash tiers) but high containment; feeding the containment edges
+    // into survivors() must drop the victim with its own tier
+    val longToks = (0 until 40).map("t" + _)
+    val df = Seq(
+      (1L, "en", "web", longToks.mkString(" ")),
+      (7L, "en", "web", longToks.take(10).mkString(" ")),
+      (3L, "en", "web", (100 until 140).map("u" + _).mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+    val cont = graft.queries.Queries.containmentPairs(df)
+    assert(cont.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((7L, 1L)), "fixture: exactly one directional containment pair")
+    def table(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // without containment the victim is INVISIBLE — a singleton keeper
+    val base = table(Dedup.survivors(df, "doc_id", "text"))
+    assert(base(7L) === ((7L, "keep")),
+      "fixture broken: victim must be invisible to the symmetric tiers")
+    val got = table(Dedup.survivors(df, "doc_id", "text",
+      containmentPairs = Some(cont)))
+    assert(got(7L) === ((1L, "contained")), s"victim did not flip: ${got(7L)}")
+    assert(got(1L) === ((1L, "keep")), "container stays the family keeper")
+    assert(got(3L) === ((3L, "keep")), "unrelated doc unaffected")
+  }
+
+  test("curate_pipeline: staged verdicts compose the three gated stages consistently") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.TrainingDataQueries.curatePipeline(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(got.size === docs.count(), "one verdict per doc")
+    assert(got.values.toSet.subsetOf(Set("gopher", "dedup", "cap", "keep")))
+    // stage 1 agrees with the standalone gopher filter
+    val gopherDrop = graft.queries.TrainingDataQueries.taGopherFilter(spark, dir)
+      .where(!col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "gopher").keySet === gopherDrop)
+    // stage 3: at most SourceCapN keeps per source
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keepsPerSrc = got.collect { case (id, "keep") => srcOf(id) }
+      .groupBy(identity).map(_._2.size)
+    assert(keepsPerSrc.forall(_ <= 8), s"cap violated: $keepsPerSrc")
+    // cap-drop count equals the independent computation over the dedup
+    // keepers (0 at this sf — every source has <= 8 keepers; the nonzero
+    // cap path is exercised by StreamMaintProbe and the sf0.01 oracle)
+    val dedupKeepers = got.collect {
+      case (id, v) if v == "cap" || v == "keep" => srcOf(id) }
+    val wantCapDrops = dedupKeepers.groupBy(identity)
+      .map { case (_, g) => math.max(0, g.size - 8) }.sum
+    assert(got.values.count(_ == "cap") === wantCapDrops)
+    // the composition is non-trivial on this corpus: the filter and
+    // dedup stages both fire
+    assert(Set("gopher", "dedup", "keep").forall(got.values.toSet.contains),
+      s"fixture too weak, verdicts seen: ${got.values.toSet}")
+    Dedup.releaseSignatures()
+  }
+
   test("ANN recall tally: self-recall is k, disjoint is 0, partial counts exactly") {
     val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
       (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L))

@@ -72,4 +72,62 @@ class GopherFilterSpec extends AnyFunSuite {
     val (_, _, bi, tri, five, keep) = flags(got(1L))
     assert(bi && tri && five && keep, "no n-grams → vacuous pass")
   }
+
+  // ---- character-fraction variant (round 6) --------------------------------
+
+  /** Local reference for the char-mass counters (Java split semantics —
+    * Spark's split(text, " ") keeps trailing empties like limit = -1). */
+  private def refCharCounts(text: String): (Long, Long, Long) = {
+    val toks = text.split(" ", -1).toSeq
+    def ngrams(n: Int): Seq[String] =
+      if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+    def topChars(n: Int): Long = {
+      val g = ngrams(n).groupBy(identity)
+      if (g.isEmpty) 0L else g.map { case (ng, occ) => occ.size.toLong * ng.length }.max
+    }
+    val dup5 = ngrams(5).groupBy(identity).collect {
+      case (ng, occ) if occ.size > 1 => occ.size.toLong * ng.length
+    }.sum
+    (topChars(2), topChars(3), dup5)
+  }
+
+  test("char-mass counters match the local reference on randomized repeated texts (property)") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(606)
+    val texts = (0 until 12).map { i =>
+      val vocabBits = 1 + rng.nextInt(5)
+      val words = (0 until (5 + rng.nextInt(120)))
+        .map(_ => ("w" * (1 + rng.nextInt(9))) + rng.nextInt(1 << vocabBits))
+      (i.toLong, words.mkString(" "))
+    } ++ Seq((100L, ""), (101L, "solo"), (102L, "a b a b a b a b"))
+    val cols = graft.text.TextAnalysis.repetitionCharColumns(col("text"))
+    val got = cols.foldLeft(texts.toDF("doc_id", "text")) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) === refCharCounts(text), s"doc $id: '$text'")
+    }
+  }
+
+  test("char fraction catches a long-word bigram the occurrence fraction misses") {
+    // 6 occurrences of a 61-char bigram among 100 six-char fillers:
+    // 6/111 bigram OCCURRENCES (5.4% < 20 → occurrence rule passes) but
+    // 366/1071 of the CHARACTERS (34% > 20 → char rule drops) — the
+    // published Gopher rule's unit is characters, and this is why
+    val a = "x" * 30
+    val b = "y" * 30
+    val fillers = (0 until 100).map(i => f"fil$i%03d")
+    val text = fillers.grouped(17).toSeq
+      .flatMap(grp => grp ++ Seq(a, b)).mkString(" ")
+    val df = Seq((1L, text, text.length.toLong)).toDF("doc_id", "text", "n_chars")
+    val occ = GopherFilter.gopherFilter(df).collect().head
+    val chf = GopherFilter.gopherFilterCharFrac(df).collect().head
+    assert(occ.getBoolean(4) && occ.getBoolean(7),
+      s"occurrence tier should keep: $occ")
+    assert(!chf.getBoolean(4) && !chf.getBoolean(7),
+      s"char tier should drop on top_bigram: $chf")
+    // the two tiers agree on every other rule
+    assert(Seq(2, 3, 5, 6).forall(i => occ.getBoolean(i) == chf.getBoolean(i)))
+  }
 }

@@ -25,7 +25,12 @@ object TrainingDataQueries {
     * source of truth, so a retune cannot silently desynchronize the gate
     * (the GopherFilter.Thresholds / Extract.DateRePattern rule). */
   private[graft] val AnnK = 5
-  private[graft] val AnnNProbe = 4
+  /** Raised 4 → 24 in round 6: the sf0.1 sweep (BASELINE.md, AnnSweep)
+    * put recall@5 at 0.39 for nProbe=4 vs 0.90 for 24 at equal wall on
+    * the synthetic (near-uniform — ANN's worst case) embeddings. The
+    * probed FRACTION shrinks as the corpus grows (nLists ~ √n, nProbe
+    * fixed), so 24 is a small-corpus-safe default, not a scan. */
+  private[graft] val AnnNProbe = 24
   /** Query set = vec_id < AnnQueryMax (the catalog's fixed probe set). */
   private[graft] val AnnQueryMax = 20
   private[graft] val SourceCapN = 8

@@ -2,7 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.{ErQueries, EvalQueries, Queries, TrainingDataQueries}
+import graft.SparkEntry
+import graft.queries.{ErQueries, EvalQueries}
 
 /** Floor probe for the round-4 official-bench regressions
   * (mm_media_stats 0.112→1.769 s, q10–q13, mm_frame_sample, dd_survivors
@@ -27,14 +28,17 @@ object RegressionProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val suspects: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
-      "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
-      "mm_frame_sample" -> (TrainingDataQueries.mmFrameSample(_, _)),
-      "q10_exact_dup_docs" -> (Queries.q10ExactDupDocs(_, _)),
-      "q11_quality_counters" -> (Queries.q11QualityCounters(_, _)),
-      "q12_lang_dist" -> (Queries.q12LangDist(_, _)),
-      "q13_sessions" -> (Queries.q13Sessions(_, _)),
-      "dd_survivors" -> (TrainingDataQueries.ddSurvivors(_, _)))
+    // round-6 suspect list: the round-5 official-run regressions
+    // (er_clusters 0.21→1.00 s, dd_simhash_pairs 1.64→2.57 s,
+    // dd_minhash_pairs 0.28→0.44 s); dd_survivors retained as the
+    // continuity reference. Override with PROBE_QUERIES=name,name to
+    // probe any catalog subset (the round-4 list or a future one).
+    val byName = SparkEntry.queries
+    val names = sys.env.get("PROBE_QUERIES")
+      .map(_.split(',').toSeq)
+      .getOrElse(Seq("er_clusters", "dd_simhash_pairs", "dd_minhash_pairs", "dd_survivors"))
+    val suspects: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      names.map(n => n -> byName(n))
 
     def timeAll(tag: String): Unit =
       suspects.foreach { case (name, fn) =>

@@ -426,7 +426,12 @@ object Dedup {
     // containmentPairs: (doc_a = the CONTAINED doc, doc_b = its container)
     // — e.g. graft.queries.Queries.containmentPairs. Edges join the two
     // into one family; the victim flag drives the "contained" tier.
-    val contEdges = containmentPairs.map(
+    // localCheckpoint: the pair table feeds TWO consumers (edges +
+    // victims) and its plan is the full prefix-filter join — eager
+    // truncation runs it once (pair-scale rows, cheap to hold)
+    val cont = containmentPairs.map(
+      _.select(col("doc_a"), col("doc_b")).localCheckpoint(true))
+    val contEdges = cont.map(
       _.select(col("doc_a").as("a"), col("doc_b").as("b")))
     val edges = contEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _)
     val cc = graft.er.Clustering.connectedComponents(spark, edges)
@@ -434,7 +439,7 @@ object Dedup {
     // flagged via a left join, NOT a broadcast hint — victim volume is
     // corpus-derived (the no-forced-broadcast audit rule); AQE broadcasts
     // it from runtime stats while it fits
-    val victims = containmentPairs.map(
+    val victims = cont.map(
       _.select(col("doc_a").as("id")).distinct().withColumn("is_contained", lit(true)))
     val base = victims.foldLeft(withG.join(cc, Seq("id"), "left"))(
       (d, v) => d.join(v, Seq("id"), "left"))

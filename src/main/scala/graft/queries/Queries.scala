@@ -404,8 +404,18 @@ object Queries {
         col("n_a").cast("bigint").as("n_a"))
   }
 
+  /** Session memo of the containment PAIR table (round-6): three catalog
+    * queries consume it (dd_containment_pairs, dd_survivors_full,
+    * curate_pipeline) and the prefix-filter join costs ~2.5 s at sf0.1 —
+    * one execution per session, like the minhash pair memo. The persisted
+    * table is pair-scale. */
+  private val containmentMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def ddContainmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairsFrom(sortedToksShared(spark, dir))
+    graft.util.SessionMemo.cached(containmentMemo, spark, dir) {
+      containmentPairsFrom(sortedToksShared(spark, dir))
+    }
 
   val ddContainmentSql: String =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -60,6 +60,10 @@ object TrainingDataQueries {
   private val MhRowsPerBand = 8
   private val MhMinJaccard = 0.35
 
+  /** Probe-only public alias (tools.CurateProbe). */
+  private[graft] def minhashPairsSharedProbe(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsShared(spark, dir)
+
   private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.cached(minhashMemo, spark, dir) {
       Dedup.minhashPairs(docs(spark, dir), "doc_id", "text",
@@ -127,8 +131,17 @@ object TrainingDataQueries {
     * replay. */
   def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
     val dall = docs(spark, dir)
+    // localCheckpoint: the stage-1 verdict table feeds EVERY later stage
+    // (the survivor subset, both pair restrictions, the final verdict
+    // join) and its plan is the n-gram repetition folds — the single
+    // most expensive per-row scan in the engine. Without eager
+    // truncation each downstream reference re-runs the folds (measured:
+    // 65 s for this query at sf0.1; 6 s with the stage outputs pinned —
+    // at deployment these ARE the materialized stage tables a pipeline
+    // writes between stages). Node-scale rows (id + bool).
     val g = GopherFilter.gopherFilter(dall)
       .select(col("doc_id"), col("keep").as("gopher_keep"))
+      .localCheckpoint(true)
     val s1 = g.where(col("gopher_keep")).select("doc_id")
     val docs1 = dall.join(s1, Seq("doc_id"), "left_semi")
     val aIds = s1.select(col("doc_id").as("id_a"))
@@ -138,12 +151,15 @@ object TrainingDataQueries {
     val cont1 = Queries.ddContainmentPairs(spark, dir)
       .join(s1.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(s1.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    // localCheckpoint: the stage-2 decision table feeds the cap subset
+    // AND the verdict join (node-scale rows; see the stage-1 note)
     val surv = Dedup.survivors(docs1, "doc_id", "text",
       shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
       minJaccard = MhMinJaccard,
       nearPairs = Some(Dedup.NearPairTable(pairs1,
         MhShingleK, MhNHashes, MhRowsPerBand, MhMinJaccard, Dedup.DefaultMaxBucket)),
       containmentPairs = Some(cont1))
+      .localCheckpoint(true)
     val s2 = surv.where(col("tier") === "keep").select(col("id").as("doc_id"))
     val cap = SourceCap.sourceCap(
       dall.join(s2, Seq("doc_id"), "left_semi"), n = SourceCapN)

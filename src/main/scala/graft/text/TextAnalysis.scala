@@ -182,11 +182,20 @@ object TextAnalysis {
     * Gopher rule's native unit): char mass of the top bigram/trigram and
     * of duplicated 5-grams. Denominator = the document's n_chars (the
     * corpus column); n-gram char length counts the joining spaces, and
-    * occurrences are counted with their full length (see
-    * [[sortedDupChars]]) — both declared conventions, pinned by the
-    * DuckDB oracle. Same map-side, shuffle-free scan shape as
-    * [[repetitionColumns]]. */
+    * occurrences are counted with their full length — both declared
+    * conventions, pinned by the DuckDB oracle. Served from the same
+    * compiled [[repCounts]] struct as [[repetitionColumns]]; the fold
+    * implementation survives in [[repetitionCharFoldColumns]] as the
+    * spec's independent reference. */
   def repetitionCharColumns(text: Column): Seq[(String, Column)] = {
+    val s = repCountsUdf(text)
+    Seq("top_bigram_chars", "top_trigram_chars", "dup_5gram_chars")
+      .map(n => n -> s.getField(n))
+  }
+
+  /** Fold-expression reference for the char-mass counters (see
+    * [[repetitionFoldColumns]]). */
+  private[graft] def repetitionCharFoldColumns(text: Column): Seq[(String, Column)] = {
     val toks = split(text, " ")
     val bi = array_sort(wordNgrams(toks, 2))
     val tri = array_sort(wordNgrams(toks, 3))
@@ -205,6 +214,58 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
 
+  /** All repetition counters of one document, occurrence AND character
+    * units, in ONE compiled pass (hash-map n-gram counting — no array
+    * materialization, no sort). Field semantics exactly match the fold
+    * expressions ([[repetitionFoldColumns]], kept as the spec's
+    * independent reference): tokenization = split on single space with
+    * trailing empties (Spark's split(text, " ")), n-grams space-joined,
+    * char lengths in CODE POINTS (Spark length() semantics),
+    * top_*_chars = max over types of count × length, dup_5gram_chars =
+    * occurrence-weighted char mass of duplicated 5-grams. */
+  final case class RepCounts(
+      n_tokens: Long,
+      n_bigrams: Long, top_bigram_n: Long, top_bigram_chars: Long,
+      n_trigrams: Long, top_trigram_n: Long, top_trigram_chars: Long,
+      n_5grams: Long, dup_5gram_n: Long, dup_5gram_chars: Long)
+
+  def repCounts(text: String): RepCounts = {
+    val toks = text.split(" ", -1)
+    // (total, topN, topChars, dupN, dupChars) for n-grams of order n
+    def stats(n: Int): (Long, Long, Long, Long, Long) = {
+      val total = toks.length - n + 1
+      if (total <= 0) return (0L, 0L, 0L, 0L, 0L)
+      val m = new java.util.HashMap[String, Int](total * 2)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        m.merge(sb.toString, 1, (a: Int, b: Int) => a + b)
+        i += 1
+      }
+      var topN = 0L; var topChars = 0L; var dupN = 0L; var dupChars = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.toLong
+        val ng = e.getKey
+        val len = ng.codePointCount(0, ng.length).toLong
+        if (c > topN) topN = c
+        if (c * len > topChars) topChars = c * len
+        if (c > 1) { dupN += c; dupChars += c * len }
+      }
+      (total.toLong, topN, topChars, dupN, dupChars)
+    }
+    val (n2, t2, t2c, _, _) = stats(2)
+    val (n3, t3, t3c, _, _) = stats(3)
+    val (n5, _, _, d5, d5c) = stats(5)
+    RepCounts(toks.length.toLong, n2, t2, t2c, n3, t3, t3c, n5, d5, d5c)
+  }
+
+  val repCountsUdf = udf((t: String) => if (t == null) null else repCounts(t))
+
   /** Gopher-style repetition counters (Rae et al. 2021, the "repetition"
     * quality-filter family): occurrence count of the most frequent word
     * bigram / trigram and the total occurrences of duplicated 5-grams,
@@ -212,10 +273,31 @@ object TextAnalysis {
     * DuckDB hash gate compares without float drift (callers derive the
     * published ratios top_ngram_share = top_n / n_ngrams and
     * dup_ngram_frac = dup_n / n_ngrams). Tokenization is the corpus
-    * convention (single space — the q15 tier). Each counter is a per-row
-    * sorted-run fold over an in-row n-gram array: map-side, shuffle-free,
-    * one whole-stage-codegen span — at 100 TB this is a pure scan. */
+    * convention (single space — the q15 tier).
+    *
+    * Since round 6 the counters come from [[repCounts]] — one compiled
+    * hash-map pass per row — instead of the sorted-run fold expressions:
+    * higher-order functions (transform / array_sort / aggregate) are
+    * CodegenFallback, i.e. interpreted, and measured ~5 ms/doc on the
+    * bench corpus vs ~40 µs compiled. All fields derive from ONE struct
+    * column (a shared deterministic subtree — subexpression elimination
+    * evaluates the UDF once per row; CollapseProject refuses to
+    * duplicate non-cheap expressions). Still map-side, shuffle-free. The
+    * fold expressions remain as [[repetitionFoldColumns]], the spec's
+    * independent cross-check. */
   def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val s = repCountsUdf(text)
+    Seq("n_tokens", "n_bigrams", "top_bigram_n", "n_trigrams",
+      "top_trigram_n", "n_5grams", "dup_5gram_n")
+      .map(n => n -> s.getField(n))
+  }
+
+  /** The original sorted-run FOLD implementation of the occurrence
+    * counters — retained as an executable independent reference
+    * (TextRepetitionSpec asserts fold == compiled on randomized docs),
+    * not used on the production path (interpreted HOFs, see
+    * [[repetitionColumns]]). */
+  private[graft] def repetitionFoldColumns(text: Column): Seq[(String, Column)] = {
     val toks = split(text, " ")
     val bi = array_sort(wordNgrams(toks, 2))
     val tri = array_sort(wordNgrams(toks, 3))

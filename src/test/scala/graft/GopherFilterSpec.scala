@@ -110,6 +110,27 @@ class GopherFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("compiled repCounts equals the sorted-run fold expressions on randomized docs") {
+    import org.apache.spark.sql.functions.col
+    // the production path is the compiled one-pass UDF (HOF folds are
+    // interpreted — ~100x slower per row); the folds remain as the
+    // independent executable reference and must agree exactly
+    val rng = new scala.util.Random(909)
+    val texts = (0 until 10).map { i =>
+      val words = (0 until (3 + rng.nextInt(80)))
+        .map(_ => "w" + rng.nextInt(1 << (1 + rng.nextInt(4))))
+      (i.toLong, words.mkString(" "))
+    } ++ Seq((50L, ""), (51L, "a"), (52L, "a a a a a a"), (53L, "x  y  x  y"))
+    val df = texts.toDF("doc_id", "text")
+    def collectCols(cols: Seq[(String, org.apache.spark.sql.Column)]) =
+      cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+        .drop("text").collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(collectCols(graft.text.TextAnalysis.repetitionColumns(col("text"))) ===
+      collectCols(graft.text.TextAnalysis.repetitionFoldColumns(col("text"))))
+    assert(collectCols(graft.text.TextAnalysis.repetitionCharColumns(col("text"))) ===
+      collectCols(graft.text.TextAnalysis.repetitionCharFoldColumns(col("text"))))
+  }
+
   test("char fraction catches a long-word bigram the occurrence fraction misses") {
     // 6 occurrences of a 61-char bigram among 100 six-char fillers:
     // 6/111 bigram OCCURRENCES (5.4% < 20 → occurrence rule passes) but

@@ -75,6 +75,9 @@ object SparkEntry {
     "dd_survivors" -> (TrainingDataQueries.ddSurvivors(_, _)),
     "dd_survivors_full" -> (TrainingDataQueries.ddSurvivorsFull(_, _)),
     "dd_survivors_incr" -> (TrainingDataQueries.ddSurvivorsIncr(_, _)),
+    "dd_survivors_full_incr" -> (TrainingDataQueries.ddSurvivorsFullIncr(_, _)),
+    "dc_decontam" -> (TrainingDataQueries.dcDecontam(_, _)),
+    "dc_dup_ngrams" -> (TrainingDataQueries.dcDupNgrams(_, _)),
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
     "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
     "ann_ivf_topk" -> (TrainingDataQueries.annIvfTopk(_, _)),
@@ -211,6 +214,10 @@ object SparkEntry {
     // batch-survivors SQL over the FULL documents table, so equality
     // proves the fold reproduces batch dedup over the union
     "dd_survivors_incr" -> AuxOracles.ddSurvivorsSql,
+    // …and its containment-aware twin against the batch FUSED oracle
+    "dd_survivors_full_incr" -> AuxOracles.ddSurvivorsFullSql,
+    "dc_decontam" -> AuxOracles.dcDecontamSql,
+    "dc_dup_ngrams" -> AuxOracles.dcDupNgramsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
     "ann_ivf_topk" -> AuxOracles.annIvfTopkSql,
     "dd_minhash_pairs" -> AuxOracles.ddMinhashPairsSql,

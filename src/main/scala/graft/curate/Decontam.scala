@@ -1,0 +1,107 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination + corpus-level n-gram duplication metrics —
+  * the two n-gram-overlap operators a training-data pipeline runs after
+  * document-level dedup (GPT-3 appendix C / The Pile / RefinedWeb
+  * practice, implemented from the published descriptions):
+  *
+  *   - [[decontaminate]]: flag training documents sharing any token
+  *     n-gram with an evaluation/benchmark document set, so benchmark
+  *     text cannot leak into training data.
+  *   - [[dupNgramStats]]: per-document count of token n-grams that also
+  *     occur in ANOTHER document — the inter-document duplication
+  *     fraction used to tune fuzzy-dedup thresholds.
+  *
+  * Both compare grams as exact STRINGS, never pre-hashed: hashing is a
+  * deployment-side optimization that can only introduce false-positive
+  * collisions, so the semantic contract (and the DuckDB oracle) is
+  * defined on the grams themselves.
+  *
+  * Scale shape: the gram explode is map-side (token volume, no shuffle);
+  * decontamination joins it against the DISTINCT eval gram set (eval
+  * sets are tiny next to a training corpus — AQE broadcasts the
+  * aggregated side from runtime stats; no forced broadcast, since here
+  * the eval slice is corpus-derived), and the duplication metric is one
+  * gram-hash shuffle (partial map-side aggregation) followed by an
+  * id-scale rollup. Nothing touches a pair space.
+  */
+object Decontam {
+
+  /** Token n-grams of a space-tokenized text column as strings
+    * (space-rejoined). Documents shorter than `n` tokens contribute no
+    * grams. The CASE guard matters: Spark's `sequence(a, b)` DESCENDS
+    * when a > b, so an unguarded `sequence(0, size - n)` on a short doc
+    * would fabricate grams from negative slice indices instead of
+    * yielding an empty list. */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = split(text, " ")
+    when(size(toks) < n, expr("CAST(array() AS array<string>)"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** One row per (doc, distinct gram): the relation both operators
+    * consume. */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(tokenNgrams(col(textCol), n)).as("gram"))
+      .dropDuplicates("doc_id", "gram")
+
+  /** Per-TRAINING-document contamination against an eval document set:
+    * (doc_id, n_hit_grams, contaminated) where n_hit_grams counts the
+    * doc's distinct n-grams that occur anywhere in the eval set. Only
+    * training (non-eval) documents are emitted — the eval set is the
+    * reference, not a curation target. `isEval` must be a deterministic
+    * predicate over `df`'s columns (the catalog uses doc_id % 20 = 7 as
+    * its synthetic benchmark slice). */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int = 8): DataFrame = {
+    val tagged = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      isEval.as("is_eval"))
+    // is_eval rides the explode (functionally dependent on doc_id, so the
+    // distinct-gram dedup keeps it consistent) — no join back to the docs
+    val grams = tagged.select(col("doc_id"), col("is_eval"),
+        explode(tokenNgrams(col("text"), n)).as("gram"))
+      .dropDuplicates("doc_id", "gram")
+    val evalGrams = grams.where(col("is_eval")).select("gram").distinct()
+    val hits = grams.where(!col("is_eval"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+    tagged.where(!col("is_eval")).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Per-document inter-document n-gram duplication:
+    * (doc_id, n_grams, n_dup_grams) over DISTINCT grams per doc, where a
+    * gram is "dup" when it occurs in at least one OTHER document
+    * (occurrences inside the same doc don't count — that is
+    * intra-document repetition, the Gopher counters' job). Callers
+    * derive the duplicate fraction n_dup_grams / n_grams; docs shorter
+    * than `n` tokens emit (0, 0). */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = docGrams(df, idCol, textCol, n)
+    // gram frequency across docs = distinct-doc count per gram (the
+    // docGrams dedup makes count(*) exactly that); map-side partial agg,
+    // one gram-hash shuffle
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("gf"))
+    val perDoc = grams.join(freq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gf") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+  }
+}

@@ -515,7 +515,8 @@ object Dedup {
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
-      cache: DataFrame => DataFrame = identity): SurvivorIndex = {
+      cache: DataFrame => DataFrame = identity,
+      extraEdges: Option[DataFrame] = None): SurvivorIndex = {
     val spark = df.sparkSession
     val nBands = nHashes / rowsPerBand
     val hashed = cache(df.select(
@@ -536,8 +537,12 @@ object Dedup {
       minhashPairsFromBanded(
         capBucketsWith(banded, bucketSizes, maxBucket), nHashes, minJaccard)
         .select(col("id_a").as("a"), col("id_b").as("b"))
+    // extraEdges: additional (a, b) duplicate evidence the standing
+    // cluster state should contract at bootstrap — the containment tier
+    // of [[buildFullSurvivorIndex]] feeds its edges through here so
+    // idx.clusters is CC over the SAME edge classes every later fold adds
     val clusters = cache(graft.er.Clustering.connectedComponents(
-      spark, exactEdges.unionByName(nearEdges)))
+      spark, extraEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _)))
     SurvivorIndex(hashed, sigs, banded, bucketSizes, groups, clusters,
       shingleK, nHashes, rowsPerBand, minJaccard, maxBucket)
   }
@@ -574,7 +579,25 @@ object Dedup {
       batch: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val spark = batch.sparkSession
+    val c = incrCore(idx, batch, idCol, textCol)
+    val newEdges = c.newEdges.localCheckpoint(true)
+    val clusters2 = graft.er.Clustering.incrementalClusters(
+      batch.sparkSession, idx.clusters, newEdges)
+    incrAssemble(idx, c, clusters2, victims = None)
+  }
+
+  /** The batch-scale pieces shared by [[survivorsIncremental]] and
+    * [[survivorsFullIncremental]]: batch hashes, the merged exact-dedup
+    * index, and the new exact/relink/near edges (UN-truncated — the
+    * caller checkpoints after unioning any extra edge tiers). */
+  private final case class IncrCore(
+      bHashed: DataFrame, merged: DataFrame, newEdges: DataFrame)
+
+  private def incrCore(
+      idx: SurvivorIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): IncrCore = {
     val nBands = idx.nHashes / idx.rowsPerBand
     val bHashed = batch.select(
       col(idCol).cast("long").as("id"),
@@ -648,26 +671,187 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("b"))
       .dropDuplicates("a", "b")
 
-    // batch-scale edge set, eagerly truncated so the banded probe and the
-    // group-merge joins above run ONCE, not once per incrementalClusters
-    // terminal point
-    val newEdges = eBatch.unionByName(eRelink).unionByName(near)
-      .localCheckpoint(true)
-    val clusters2 = graft.er.Clustering.incrementalClusters(
-      spark, idx.clusters, newEdges)
+    IncrCore(bHashed, merged, eBatch.unionByName(eRelink).unionByName(near))
+  }
 
-    // refreshed decision table over the union (same rules as survivors())
-    idx.hashed.unionByName(bHashed)
-      .join(merged.select(col("content_hash"), col("gsz")), Seq("content_hash"))
+  /** The refreshed decision table over the union (same rules — and the
+    * same tier precedence keep > exact > contained > near — as
+    * [[survivors]]). `victims` carries the union containment-victim set
+    * when the fold maintains the containment tier. */
+  private def incrAssemble(
+      idx: SurvivorIndex,
+      c: IncrCore,
+      clusters2: DataFrame,
+      victims: Option[DataFrame]): DataFrame = {
+    val base = idx.hashed.unionByName(c.bHashed)
+      .join(c.merged.select(col("content_hash"), col("gsz")), Seq("content_hash"))
       .select(col("id"), (col("gsz") > 1).as("has_exact"))
       .join(clusters2, Seq("id"), "left")
+    // victim flag via a left join, NOT a broadcast hint (the survivors()
+    // rule): victim volume is corpus-derived; AQE broadcasts it from
+    // runtime stats while it fits
+    val withV = victims.foldLeft(base)((d, v) =>
+      d.join(v.withColumn("is_contained", lit(true)), Seq("id"), "left"))
+    val contained =
+      if (victims.isDefined) coalesce(col("is_contained"), lit(false))
+      else lit(false)
+    withV
       .withColumn("survivor_id", coalesce(col("cluster"), col("id")))
       .withColumn(
         "tier",
         when(col("survivor_id") === col("id"), lit("keep"))
           .when(col("has_exact"), lit("exact"))
+          .when(contained, lit("contained"))
           .otherwise(lit("near")))
       .select(col("id"), col("survivor_id"), col("tier"))
+  }
+
+  // ---------- containment-aware incremental index -----------------------------
+
+  /** [[SurvivorIndex]] extended with the CONTAINMENT index at rest — the
+    * standing state behind [[survivorsFullIncremental]] (the incremental
+    * twin of `survivors(..., containmentPairs = ...)`):
+    *   - `tokFreq` (tok, tf): the FROZEN rare-first token order (standing
+    *     corpus frequencies). Frozen deliberately: the prefix filter is
+    *     lossless under ANY total order applied consistently, so folds
+    *     sort batch tokens under the bootstrap order (unseen → tf 0,
+    *     ties by token string) instead of re-counting the corpus;
+    *   - `toks` (doc_id, lang, source, n, stoks): standing docs' distinct
+    *     tokens sorted by that order (the verification relation);
+    *   - `contPrefix` (lang, source, doc_a, na, tok): standing prefix
+    *     explode — probed when a BATCH doc may contain a standing one;
+    *   - `contFull` (lang, source, doc_b, nb, tok): the standing inverted
+    *     index — probed when a batch doc is contained in a standing one.
+    *     At deployment both are stored partitioned by token, so a fold's
+    *     touched-token semi-join is a pruned read (the `banded` rule);
+    *   - `victims` (id): standing containment victims. Monotone — docs
+    *     never leave the corpus, so a standing victim stays one.
+    * `core.clusters` is CC over exact ∪ near ∪ CONTAINMENT edges (built
+    * via buildSurvivorIndex's extraEdges hook), matching the edge classes
+    * every fold adds. */
+  final case class FullSurvivorIndex(
+      core: SurvivorIndex,
+      tokFreq: DataFrame,
+      toks: DataFrame,
+      contPrefix: DataFrame,
+      contFull: DataFrame,
+      victims: DataFrame) {
+    def frames: Seq[DataFrame] =
+      core.frames ++ Seq(tokFreq, toks, contPrefix, contFull, victims)
+  }
+
+  /** Bootstrap the containment-aware standing index. `df` must carry
+    * (idCol, textCol, lang, source) — containment blocks within
+    * (lang, source), the catalog convention (Queries.containmentPairs). */
+  def buildFullSurvivorIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5,
+      nHashes: Int = 64,
+      rowsPerBand: Int = 8,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket,
+      cache: DataFrame => DataFrame = identity): FullSurvivorIndex = {
+    import graft.queries.Queries
+    val d = df.select(col(idCol).cast("long").as("doc_id"),
+      col("lang"), col("source"), col(textCol).as("text"))
+    val tokFreq = cache(
+      d.select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf")))
+    val toks = cache(Queries.sortedToksFrozen(d, tokFreq))
+    // the bootstrap's own containment pairs (standing-standing), feeding
+    // edges + victims; localCheckpoint = the two-consumer survivors() rule
+    val cp = Queries.containmentPairsFrom(toks)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val core = buildSurvivorIndex(df, idCol, textCol, shingleK, nHashes,
+      rowsPerBand, minJaccard, maxBucket, cache,
+      extraEdges = Some(cp.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+    FullSurvivorIndex(core, tokFreq, toks,
+      cache(Queries.contPrefixExplode(toks)),
+      cache(Queries.contFullExplode(toks)),
+      cache(cp.select(col("doc_a").as("id")).distinct()))
+  }
+
+  /** New containment pairs a batch introduces against the standing index
+    * (and within itself) — both directions, candidates probed only at
+    * the (lang, source, tok) keys the batch touches (broadcast semi-joins
+    * on batch-derived key sets: the batch ≪ corpus premise shared with
+    * the banded probe; a pruned partition read when the index is stored
+    * token-partitioned). Standing-standing pairs are already contracted
+    * in core.clusters / victims, so untouched keys cannot contribute. */
+  private def incrContainmentPairs(
+      fidx: FullSurvivorIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import graft.queries.Queries
+    val b = batch.select(col(idCol).cast("long").as("doc_id"),
+      col("lang"), col("source"), col(textCol).as("text"))
+    // batch tokens under the FROZEN order; localCheckpoint: feeds four
+    // consumers (both explodes + the union verification relation)
+    val bToks = Queries.sortedToksFrozen(b, fidx.tokFreq).localCheckpoint(true)
+    val bPref = Queries.contPrefixExplode(bToks)
+    val bFull = Queries.contFullExplode(bToks)
+    // direction 1: contained = batch doc, container = union
+    val standingFull = fidx.contFull.join(
+      broadcast(bPref.select("lang", "source", "tok").distinct()),
+      Seq("lang", "source", "tok"), "left_semi")
+    val cand1 = bPref.join(standingFull.unionByName(bFull),
+      Seq("lang", "source", "tok"))
+    // direction 2: contained = standing doc, container = batch doc
+    val standingPref = fidx.contPrefix.join(
+      broadcast(bFull.select("lang", "source", "tok").distinct()),
+      Seq("lang", "source", "tok"), "left_semi")
+    val cand2 = standingPref.join(bFull, Seq("lang", "source", "tok"))
+    // the same impossible-candidate pruning as containmentCandidates,
+    // BEFORE the dedup shuffle
+    val cands = cand1.unionByName(cand2)
+      .where(col("doc_a") =!= col("doc_b") &&
+        col("nb") * lit(5) >= col("na") * lit(4))
+      .select("doc_a", "doc_b").distinct()
+    // integer verification against the union token relation (candidates
+    // are batch-scale; AQE broadcasts them into the corpus-scale fetches)
+    val allToks = fidx.toks.unionByName(bToks)
+    cands
+      .join(allToks.select(col("doc_id").as("doc_a"),
+        col("stoks").as("toks_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(allToks.select(col("doc_id").as("doc_b"),
+        col("stoks").as("toks_b")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("bigint"))
+      .where(col("inter") * lit(5) >= col("n_a") * lit(4))
+      .select("doc_a", "doc_b")
+  }
+
+  /** Containment-aware incremental survivors — the fold for
+    * [[FullSurvivorIndex]], equal to
+    * `survivors(union, ..., containmentPairs = containmentPairs(union))`
+    * exactly (the token ORDER differs — frozen vs union frequencies —
+    * but order affects only candidate generation, which is lossless
+    * under any consistent total order; the integer verification and the
+    * tier rules are identical). The oracle gates that equality. */
+  def survivorsFullIncremental(
+      fidx: FullSurvivorIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val idx = fidx.core
+    val c = incrCore(idx, batch, idCol, textCol)
+    // localCheckpoint: the new pair table feeds edges + victims (the
+    // survivors() two-consumer rule); edges checkpoint so the banded and
+    // containment probes run once, not per incrementalClusters terminal
+    val newCont = incrContainmentPairs(fidx, batch, idCol, textCol)
+      .localCheckpoint(true)
+    val newEdges = c.newEdges
+      .unionByName(newCont.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint(true)
+    val clusters2 = graft.er.Clustering.incrementalClusters(
+      batch.sparkSession, idx.clusters, newEdges)
+    val victims = fidx.victims
+      .unionByName(newCont.select(col("doc_a").as("id")))
+      .distinct()
+    incrAssemble(idx, c, clusters2, victims = Some(victims))
   }
 
   // ---------- embedding cosine ------------------------------------------------

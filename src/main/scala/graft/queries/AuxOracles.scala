@@ -851,4 +851,45 @@ object AuxOracles {
       |           ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
       |  FROM q, c WHERE c.vec_id <> q.vec_id)
       |WHERE rank <= ${TrainingDataQueries.AnnK}""".stripMargin
+
+  /** The distinct (doc_id, gram) relation both n-gram-overlap oracles
+    * consume: token n-grams re-derived with the repetitionCtes pattern
+    * (range is empty when the doc is shorter than n — DuckDB's range
+    * never descends, matching the engine's guarded sequence). Gram size
+    * and the eval-slice predicate interpolate from the SAME
+    * TrainingDataQueries constants as the engine calls (the AnnK rule). */
+  private def docGramsCte: String = {
+    val n = TrainingDataQueries.DecontamN
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT DISTINCT doc_id, ng AS gram
+       |      FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}), i ->
+       |              array_to_string(toks[i:i + ${n - 1}], ' '))) AS ng FROM d))""".stripMargin
+  }
+
+  private def isEvalPred: String =
+    s"doc_id % ${TrainingDataQueries.DecontamEvalMod} = ${TrainingDataQueries.DecontamEvalRes}"
+
+  /** Benchmark-decontamination replay (dc_decontam): distinct training
+    * grams joined against the distinct eval gram set, counted per doc. */
+  val dcDecontamSql: String =
+    s"""WITH $docGramsCte,
+      |ev AS (SELECT DISTINCT gram FROM g WHERE $isEvalPred),
+      |h AS (SELECT doc_id, count(*) AS nh
+      |      FROM g JOIN ev USING (gram) WHERE NOT ($isEvalPred) GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
+      |       coalesce(h.nh, 0) > 0 AS contaminated
+      |FROM d LEFT JOIN h USING (doc_id) WHERE NOT ($isEvalPred)""".stripMargin
+
+  /** Inter-document n-gram duplication replay (dc_dup_ngrams): gram
+    * frequency = distinct-doc count, a doc's gram is dup when that count
+    * exceeds 1. */
+  val dcDupNgramsSql: String =
+    s"""WITH $docGramsCte,
+      |f AS (SELECT gram, count(*) AS gf FROM g GROUP BY gram),
+      |p AS (SELECT doc_id, count(*) AS ng,
+      |             sum(CASE WHEN gf > 1 THEN 1 ELSE 0 END) AS nd
+      |      FROM g JOIN f USING (gram) GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(p.ng, 0) AS BIGINT) AS n_grams,
+      |       CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_grams
+      |FROM d LEFT JOIN p USING (doc_id)""".stripMargin
 }

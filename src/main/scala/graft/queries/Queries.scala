@@ -368,19 +368,50 @@ object Queries {
   private[graft] def containmentPairs(docs: DataFrame): DataFrame =
     containmentPairsFrom(q15SortedToks(docs).localCheckpoint(true))
 
-  private[graft] def containmentCandidates(sorted: DataFrame): DataFrame = {
-    // required overlap o = ⌈4n/5⌉ computed in INTEGER arithmetic
-    // ((4n+4) div 5) — no float ceil near an integer boundary can ever
-    // shorten the prefix and drop a true pair
-    val pref = sorted
+  /** [[q15SortedToks]] under a CALLER-SUPPLIED (frozen) token-frequency
+    * table instead of frequencies recomputed from `docs` — the
+    * incremental-containment shape (Dedup.FullSurvivorIndex): the standing
+    * index freezes its corpus order at bootstrap and sorts every later
+    * batch's tokens under the SAME order, so the prefix-filter argument
+    * (any consistent total order is lossless) keeps holding across folds.
+    * Unseen tokens get tf = 0 (rarest tier — ties broken by the token
+    * string, so (coalesce(tf,0), tok) stays a total order). */
+  private[graft] def sortedToksFrozen(docs: DataFrame, tokFreq: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    d.select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+      .join(tokFreq, Seq("tok"), "left")
+      .groupBy("doc_id", "lang", "source", "n")
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+        "'tf', coalesce(tf, cast(0 as bigint)), 'tok', tok))), s -> s.tok)")
+        .as("stoks"))
+  }
+
+  /** The contained-side prefix explode: the first n − ⌈0.8n⌉ + 1 tokens
+    * of each doc in the global order (required overlap o = ⌈4n/5⌉ in
+    * INTEGER arithmetic ((4n+4) div 5) — no float ceil near an integer
+    * boundary can ever shorten the prefix and drop a true pair). */
+  private[graft] def contPrefixExplode(sorted: DataFrame): DataFrame =
+    sorted
       .withColumn("prefix",
         slice(col("stoks"), lit(1),
           (col("n") - expr("(n * 4 + 4) div 5") + lit(1)).cast("int")))
       .select(col("lang"), col("source"), col("doc_id").as("doc_a"),
         col("n").as("na"), explode(col("prefix")).as("tok"))
-    val full = sorted.select(col("lang"), col("source"),
+
+  /** The container-side full explode — the inverted-index relation (the
+    * containment index at rest in Dedup.FullSurvivorIndex; at deployment
+    * stored partitioned by token so a fold's touched-token semi-join is a
+    * pruned read). */
+  private[graft] def contFullExplode(sorted: DataFrame): DataFrame =
+    sorted.select(col("lang"), col("source"),
       col("doc_id").as("doc_b"), col("n").as("nb"),
       explode(col("stoks")).as("tok"))
+
+  private[graft] def containmentCandidates(sorted: DataFrame): DataFrame = {
+    val pref = contPrefixExplode(sorted)
+    val full = contFullExplode(sorted)
     // container-size lower bound: inter ≤ n_b, so 5·n_b < 4·n_a can
     // never verify — prune impossible (big contained, tiny container)
     // candidates BEFORE the dedup shuffle and the two fetch joins

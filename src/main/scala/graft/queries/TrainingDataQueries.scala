@@ -34,6 +34,15 @@ object TrainingDataQueries {
   /** Query set = vec_id < AnnQueryMax (the catalog's fixed probe set). */
   private[graft] val AnnQueryMax = 20
   private[graft] val SourceCapN = 8
+  /** Token n-gram size for the decontamination / duplication operators
+    * (published pipelines use 13-grams on real web text; 8 keeps the
+    * ~55-token synthetic docs from being gram-free). */
+  private[graft] val DecontamN = 8
+  /** The catalog's deterministic synthetic benchmark slice:
+    * doc_id % DecontamEvalMod == DecontamEvalRes (~5%). Plain modulo, so
+    * the oracle replays it without a hash pipeline. */
+  private[graft] val DecontamEvalMod = 20L
+  private[graft] val DecontamEvalRes = 7L
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -215,6 +224,34 @@ object TrainingDataQueries {
       survivorIndexShared(spark, dir),
       docs(spark, dir).where(incrIsNewDoc), "doc_id", "text")
 
+  /** Session memo of the CONTAINMENT-AWARE standing index (the
+    * survivorIdxMemo pattern — one bootstrap per session). */
+  private val fullSurvIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.FullSurvivorIndex]()
+
+  private[graft] def fullSurvivorIndexShared(spark: SparkSession, dir: String): Dedup.FullSurvivorIndex =
+    graft.util.SessionMemo.cachedEntry(fullSurvIdxMemo, spark, dir)(
+      Dedup.buildFullSurvivorIndex(
+        docs(spark, dir).where(!incrIsNewDoc), "doc_id", "text",
+        shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
+        minJaccard = MhMinJaccard, maxBucket = Dedup.DefaultMaxBucket,
+        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))) { idx =>
+      idx.frames
+        .foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
+    }
+
+  /** Containment-aware incremental survivors (round-6): fold the 1/4
+    * "new crawl" docs into the standing index MAINTAINING ALL THREE edge
+    * tiers — exact, minhash-near, and asymmetric containment (the tier
+    * dd_survivors_incr leaves batch-only). The oracle is the SAME
+    * batch dd_survivors_full SQL over the full documents table + the
+    * full containment dump, so the gate proves incremental == batch for
+    * the fused verdict exactly. */
+  def ddSurvivorsFullIncr(spark: SparkSession, dir: String): DataFrame =
+    Dedup.survivorsFullIncremental(
+      fullSurvivorIndexShared(spark, dir),
+      docs(spark, dir).where(incrIsNewDoc), "doc_id", "text")
+
   def ddEmbeddingDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(embs(spark, dir), "vec_id", "embedding",
       minCosine = 0.25, nBits = 16, bandBits = 4)
@@ -309,6 +346,20 @@ object TrainingDataQueries {
     * [[graft.curate.SourceCap.sourceCap]] for the scale shape. */
   def taSourceCap(spark: SparkSession, dir: String): DataFrame =
     SourceCap.sourceCap(docs(spark, dir), n = SourceCapN)
+
+  /** Benchmark decontamination (round-6): training docs sharing any
+    * token 8-gram with the synthetic benchmark slice — see
+    * [[graft.curate.Decontam.decontaminate]]. */
+  def dcDecontam(spark: SparkSession, dir: String): DataFrame =
+    graft.curate.Decontam.decontaminate(docs(spark, dir), "doc_id", "text",
+      isEval = pmod(col("doc_id"), lit(DecontamEvalMod)) === lit(DecontamEvalRes),
+      n = DecontamN)
+
+  /** Inter-document n-gram duplication stats (round-6) — see
+    * [[graft.curate.Decontam.dupNgramStats]]. */
+  def dcDupNgrams(spark: SparkSession, dir: String): DataFrame =
+    graft.curate.Decontam.dupNgramStats(docs(spark, dir), "doc_id", "text",
+      n = DecontamN)
 
   def taFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(

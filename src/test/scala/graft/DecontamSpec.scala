@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.curate.Decontam
+
+class DecontamSpec extends AnyFunSuite {
+  lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  test("tokenNgrams: sliding grams, and short docs yield an EMPTY list (no descending sequence)") {
+    val got = Seq(("a b c d", 1L), ("a b", 2L)).toDF("text", "id")
+      .select(col("id"), Decontam.tokenNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    // the guard matters: unguarded sequence(0, -1) DESCENDS in Spark and
+    // would fabricate grams from negative slice indices
+    assert(got(2L) === Seq.empty)
+  }
+
+  test("decontaminate: flags exactly the training docs sharing an 8-gram with the eval slice") {
+    // id 7 is the eval doc (id % 20 == 7); id 1 copies one of its
+    // 8-grams, id 2 is clean, id 3 is too short to carry any gram
+    val df = Seq(
+      (7L, "a b c d e f g h i j"),
+      (1L, "z1 z2 z3 a b c d e f g h q"),
+      (2L, "p q r s t u v w x y"),
+      (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Decontam.decontaminate(df, "doc_id", "text",
+        isEval = pmod(col("doc_id"), lit(20)) === 7, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "eval docs must not be emitted")
+    assert(got(1L) === ((1L, true)), s"planted hit: ${got(1L)}")
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((0L, false)), "short doc carries no grams")
+  }
+
+  test("dupNgramStats: a gram is dup only when it occurs in ANOTHER document") {
+    val df = Seq(
+      (1L, "a b c d e f g h i"),        // grams: a..h, b..i
+      (2L, "x0 a b c d e f g h"),       // shares a..h with doc 1
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8"),  // 1 gram, unique
+      // intra-doc repetition does NOT count (distinct grams per doc):
+      (4L, "r r r r r r r r r r r r r r r r"),
+      (5L, "a b"))                      // too short
+      .toDF("doc_id", "text")
+    val got = Decontam.dupNgramStats(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((2L, 1L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) === ((2L, 1L)), s"doc 2: ${got(2L)}")
+    assert(got(3L) === ((1L, 0L)))
+    assert(got(4L) === ((1L, 0L)), "intra-doc repeats are not inter-doc dups")
+    assert(got(5L) === ((0L, 0L)))
+  }
+}

@@ -322,6 +322,39 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, "keep")), "unrelated doc unaffected")
   }
 
+  test("containment-aware incremental fold equals batch fused survivors over the union") {
+    // round-6: FullSurvivorIndex maintains all THREE edge tiers across a
+    // fold. Planted cross-split containment in BOTH directions (the two
+    // probe paths), on top of docs(80)'s cross-split exact + near dups.
+    val xs = (0 until 40).map("x" + _)
+    val vs = (0 until 40).map("v" + _)
+    val extra = Seq(
+      (4000L, xs.mkString(" ")),          // standing container (mod 3 = 1)
+      (4002L, xs.take(10).mkString(" ")), // BATCH victim (mod 3 = 0)
+      (4008L, vs.mkString(" ")),          // BATCH container (mod 3 = 0)
+      (4010L, vs.take(10).mkString(" "))) // standing victim (mod 3 = 2)
+      .toDF("doc_id", "text")
+    val d = docs(80).unionByName(extra)
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+    val standing = d.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = d.where(pmod(col("doc_id"), lit(3)) === 0)
+    val fidx = Dedup.buildFullSurvivorIndex(standing, "doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val got = table(Dedup.survivorsFullIncremental(fidx, batch, "doc_id", "text"))
+    val want = table(Dedup.survivors(d, "doc_id", "text",
+      containmentPairs = Some(graft.queries.Queries.containmentPairs(d))))
+    assert(got.size === want.size, s"row counts differ: ${got.size} vs ${want.size}")
+    assert(got === want)
+    // direction 1: a batch doc newly contained in a STANDING container
+    assert(got(4002L) === ((4000L, "contained")), s"batch victim: ${got(4002L)}")
+    // direction 2: a STANDING doc newly contained in a batch container —
+    // only the contFull/contPrefix index probes can find this pair
+    assert(got(4010L) === ((4008L, "contained")), s"standing victim: ${got(4010L)}")
+    assert(got(4000L) === ((4000L, "keep")))
+    assert(got(4008L) === ((4008L, "keep")))
+  }
+
   test("curate_pipeline: staged verdicts compose the three gated stages consistently") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.TrainingDataQueries.curatePipeline(spark, dir)

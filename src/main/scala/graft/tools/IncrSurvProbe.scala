@@ -83,6 +83,36 @@ object IncrSurvProbe {
     val ixBig = build("standing=4875", standingBig)
     foldTimes("standing=4875", ixBig)
     ixBig.frames.foreach(_.unpersist(true))
+
+    // ---- part 3 (round-6 second wave): CONTAINMENT-AWARE fold growth ----
+    // same fixed batch, full index (exact + near + containment at rest)
+    // at 1x and 13x standing — the containment probe should track the
+    // batch's touched (lang, source, token) keys, not the corpus
+    def buildFull(name: String, standing: DataFrame): Dedup.FullSurvivorIndex = {
+      val ix = Dedup.buildFullSurvivorIndex(standing, "doc_id", "text",
+        minJaccard = 0.35,
+        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      time(s"$name full-index bootstrap (untimed setup, materialize)") {
+        ix.frames.foreach(_.count())
+      }
+      ix
+    }
+    def foldFullTimes(name: String, ix: Dedup.FullSurvivorIndex): Unit = {
+      var best = Double.MaxValue
+      (1 to 2).foreach { _ =>
+        val t0 = System.nanoTime()
+        Dedup.survivorsFullIncremental(ix, batch, "doc_id", "text").count()
+        Dedup.releaseSignatures()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[probe] $name full-index fold (min-of-2): $best%.2f s")
+    }
+    val fxSmall = buildFull("standing=375", standingSmall)
+    foldFullTimes("standing=375", fxSmall)
+    fxSmall.frames.foreach(_.unpersist(true))
+    val fxBig = buildFull("standing=4875", standingBig)
+    foldFullTimes("standing=4875", fxBig)
+    fxBig.frames.foreach(_.unpersist(true))
     spark.stop()
   }
 

@@ -78,6 +78,7 @@ object SparkEntry {
     "dd_survivors_full_incr" -> (TrainingDataQueries.ddSurvivorsFullIncr(_, _)),
     "dc_decontam" -> (TrainingDataQueries.dcDecontam(_, _)),
     "dc_dup_ngrams" -> (TrainingDataQueries.dcDupNgrams(_, _)),
+    "dc_dup_ngrams_incr" -> (TrainingDataQueries.dcDupNgramsIncr(_, _)),
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
     "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
     "ann_ivf_topk" -> (TrainingDataQueries.annIvfTopk(_, _)),
@@ -218,6 +219,9 @@ object SparkEntry {
     "dd_survivors_full_incr" -> AuxOracles.ddSurvivorsFullSql,
     "dc_decontam" -> AuxOracles.dcDecontamSql,
     "dc_dup_ngrams" -> AuxOracles.dcDupNgramsSql,
+    // the incremental fold against the SAME batch SQL over the full
+    // table (the dd_survivors_incr equality-gate pattern)
+    "dc_dup_ngrams_incr" -> AuxOracles.dcDupNgramsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
     "ann_ivf_topk" -> AuxOracles.annIvfTopkSql,
     "dd_minhash_pairs" -> AuxOracles.ddMinhashPairsSql,

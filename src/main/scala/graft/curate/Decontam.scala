@@ -47,7 +47,7 @@ object Decontam {
 
   /** One row per (doc, distinct gram): the relation both operators
     * consume. */
-  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+  private[curate] def docGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
         explode(tokenNgrams(col(textCol), n)).as("gram"))
@@ -103,5 +103,93 @@ object Decontam {
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+  }
+
+  // ---------- incremental maintenance ----------------------------------------
+
+  /** The standing state behind [[dupNgramStatsIncremental]] — the
+    * maintenance-family shape (Dedup.SurvivorIndex discipline: persist
+    * all frames, parameters carried so drifted folds fail loudly):
+    *   - `grams` (doc_id, gram): the distinct doc-gram relation at rest
+    *     (token-volume; at deployment stored partitioned by gram so a
+    *     fold's flipped-gram semi-join is a pruned read);
+    *   - `freq` (gram, gf): distinct-doc count per gram;
+    *   - `stats` (doc_id, n_grams, n_dup_grams): the standing answer.
+    * Dup status is MONOTONE — gram frequencies only grow as the corpus
+    * appends, so a fold only ever flips grams from unique to dup, never
+    * back. That monotonicity is what makes the fold batch-scale: only
+    * grams the batch touches can change anything. */
+  final case class DupNgramIndex(
+      grams: DataFrame,
+      freq: DataFrame,
+      stats: DataFrame,
+      n: Int) {
+    /** Every frame a caller should persist/unpersist as a unit. */
+    def frames: Seq[DataFrame] = Seq(grams, freq, stats)
+  }
+
+  /** Bootstrap the standing n-gram duplication index (one-time; every
+    * later increment goes through [[dupNgramStatsIncremental]]). */
+  def buildDupNgramIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, cache: DataFrame => DataFrame = identity): DupNgramIndex = {
+    val grams = cache(docGrams(df, idCol, textCol, n))
+    val freq = cache(grams.groupBy("gram").agg(count(lit(1)).as("gf")))
+    val perDoc = grams.join(freq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gf") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    val stats = cache(df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams")))
+    DupNgramIndex(grams, freq, stats, n)
+  }
+
+  /** Fold a batch of NEW documents into the standing index and return
+    * the refreshed (doc_id, n_grams, n_dup_grams) table over the union —
+    * equal to [[dupNgramStats]] over the union exactly, without
+    * re-counting the standing corpus:
+    *   - batch grams (batch-scale) join the TOUCHED union frequencies
+    *     (standing gf + batch delta — no corpus re-count);
+    *   - a standing doc's stats change ONLY when one of its unique grams
+    *     (standing gf = 1) gains a batch occurrence — the flipped-gram
+    *     set is batch-derived, so the standing holders are reached
+    *     through a broadcast semi-join (a pruned partition read when
+    *     `grams` is stored gram-partitioned; batch ≪ corpus premise).
+    * Like the survivor folds, the full table is re-emitted (output
+    * contract: one row per doc); at 10^12 docs partition the rewrite by
+    * touched ranges. */
+  def dupNgramStatsIncremental(idx: DupNgramIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    // localCheckpoint: feeds the delta census + the batch-stats join
+    val bGrams = docGrams(batch, idCol, textCol, idx.n).localCheckpoint(true)
+    val delta = bGrams.groupBy("gram").agg(count(lit(1)).as("dgf"))
+    // touched grams' union freq; localCheckpoint: feeds batch stats +
+    // the flip detection
+    val touched = delta.join(idx.freq, Seq("gram"), "left")
+      .select(col("gram"),
+        (coalesce(col("gf"), lit(0L)) + col("dgf")).as("ugf"),
+        coalesce(col("gf"), lit(0L)).as("sgf"))
+      .localCheckpoint(true)
+    val bStats = bGrams.join(touched, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ugf") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    val bAll = batch.select(col(idCol).as("doc_id"))
+      .join(bStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+    // unique standing grams the batch just made dup: their (single)
+    // standing holders gain one dup gram each
+    val flips = touched.where(col("sgf") === 1 && col("ugf") > 1)
+      .select("gram")
+    val holders = idx.grams.join(broadcast(flips), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("inc"))
+    val sStats = idx.stats.join(holders, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_dup_grams") + coalesce(col("inc"), lit(0L))).as("n_dup_grams"))
+    sStats.unionByName(bAll)
   }
 }

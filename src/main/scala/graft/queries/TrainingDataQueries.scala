@@ -361,6 +361,29 @@ object TrainingDataQueries {
     graft.curate.Decontam.dupNgramStats(docs(spark, dir), "doc_id", "text",
       n = DecontamN)
 
+  /** Session memo of the standing n-gram duplication index (the
+    * survivorIdxMemo pattern). */
+  private val dupNgramIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.curate.Decontam.DupNgramIndex]()
+
+  private[graft] def dupNgramIndexShared(spark: SparkSession, dir: String): graft.curate.Decontam.DupNgramIndex =
+    graft.util.SessionMemo.cachedEntry(dupNgramIdxMemo, spark, dir)(
+      graft.curate.Decontam.buildDupNgramIndex(
+        docs(spark, dir).where(!incrIsNewDoc), "doc_id", "text", n = DecontamN,
+        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))) { idx =>
+      idx.frames
+        .foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
+    }
+
+  /** Incremental dup-ngram maintenance (round-6): fold the 1/4 "new
+    * crawl" docs into the standing gram-frequency index. Oracle = the
+    * batch dc_dup_ngrams SQL over the full table (incremental == batch
+    * exactly — dup flips are monotone). */
+  def dcDupNgramsIncr(spark: SparkSession, dir: String): DataFrame =
+    graft.curate.Decontam.dupNgramStatsIncremental(
+      dupNgramIndexShared(spark, dir),
+      docs(spark, dir).where(incrIsNewDoc), "doc_id", "text")
+
   def taFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),

@@ -54,4 +54,35 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(4L) === ((1L, 0L)), "intra-doc repeats are not inter-doc dups")
     assert(got(5L) === ((0L, 0L)))
   }
+
+  test("incremental dup-ngram fold equals batch stats over the union (standing flip included)") {
+    // standing: doc 1 holds a UNIQUE gram the batch will duplicate
+    // (the flip path — only the gram-partitioned holders probe finds
+    // it); docs 2/3 share a gram that stays dup; doc 9 is too short
+    val standing = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8"),
+      (3L, "z0 q1 q2 q3 q4 q5 q6 q7 q8"),
+      (9L, "a b"))
+      .toDF("doc_id", "text")
+    // batch: doc 10 copies doc 1's gram (flips it), doc 11 is fresh,
+    // docs 11/12 share a batch-only gram
+    val batch = Seq(
+      (10L, "y0 a b c d e f g h y9"),
+      (11L, "m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+      (12L, "x x m2 m3 m4 m5 m6 m7 m8 m9"))
+      .toDF("doc_id", "text")
+    val idx = Decontam.buildDupNgramIndex(standing, "doc_id", "text", n = 8)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = table(Decontam.dupNgramStatsIncremental(idx, batch, "doc_id", "text"))
+    val want = table(Decontam.dupNgramStats(standing.unionByName(batch), "doc_id", "text", n = 8))
+    assert(got === want, s"fold != batch: $got vs $want")
+    // the planted flip concretely: doc 1's gram "a..h" was unique in the
+    // standing corpus and is now dup (batch doc 10 carries it)
+    assert(idx.stats.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .apply(1L) === 0L, "fixture: doc 1 had no dups standing")
+    assert(got(1L)._2 === 1L, s"standing flip missed: ${got(1L)}")
+    assert(got(10L)._2 >= 1L)
+  }
 }

@@ -742,7 +742,16 @@ object Dedup {
 
   /** Bootstrap the containment-aware standing index. `df` must carry
     * (idCol, textCol, lang, source) — containment blocks within
-    * (lang, source), the catalog convention (Queries.containmentPairs). */
+    * (lang, source), the catalog convention (Queries.containmentPairs).
+    *
+    * `reuseCore`: a [[SurvivorIndex]] already built over the SAME `df`
+    * with the SAME parameters (enforced) — its at-rest frames (hashes,
+    * signatures, banded index, census, groups) are reused as-is and only
+    * the cluster state is recomputed, now over exact ∪ near ∪
+    * CONTAINMENT edges (the full index's clusters must contract the same
+    * edge classes every fold adds; the core's clusters lack the
+    * containment tier). This is the session-catalog shape: one physical
+    * LSH index, two cluster states. */
   def buildFullSurvivorIndex(
       df: DataFrame,
       idCol: String,
@@ -752,7 +761,8 @@ object Dedup {
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
-      cache: DataFrame => DataFrame = identity): FullSurvivorIndex = {
+      cache: DataFrame => DataFrame = identity,
+      reuseCore: Option[SurvivorIndex] = None): FullSurvivorIndex = {
     import graft.queries.Queries
     val d = df.select(col(idCol).cast("long").as("doc_id"),
       col("lang"), col("source"), col(textCol).as("text"))
@@ -764,9 +774,35 @@ object Dedup {
     // edges + victims; localCheckpoint = the two-consumer survivors() rule
     val cp = Queries.containmentPairsFrom(toks)
       .select("doc_a", "doc_b").localCheckpoint(true)
-    val core = buildSurvivorIndex(df, idCol, textCol, shingleK, nHashes,
-      rowsPerBand, minJaccard, maxBucket, cache,
-      extraEdges = Some(cp.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+    val contEdges = cp.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val core = reuseCore match {
+      case Some(c) =>
+        require(c.shingleK == shingleK && c.nHashes == nHashes &&
+          c.rowsPerBand == rowsPerBand && c.minJaccard == minJaccard &&
+          c.maxBucket == maxBucket,
+          "reuseCore parameter drift: the supplied index was built with " +
+            s"(shingleK=${c.shingleK}, nHashes=${c.nHashes}, rowsPerBand=${c.rowsPerBand}, " +
+            s"minJaccard=${c.minJaccard}, maxBucket=${c.maxBucket}) but buildFullSurvivorIndex " +
+            s"runs with (shingleK=$shingleK, nHashes=$nHashes, rowsPerBand=$rowsPerBand, " +
+            s"minJaccard=$minJaccard, maxBucket=$maxBucket)")
+        // re-derive the edge classes from the AT-REST frames (no second
+        // shingling/banding pass) and re-cluster with containment in
+        val exactEdges = c.hashed.join(c.groups, Seq("content_hash"))
+          .where(col("id") =!= col("gmin"))
+          .select(col("id").as("a"), col("gmin").as("b"))
+        val nearEdges = minhashPairsFromBanded(
+          capBucketsWith(c.banded, c.bucketSizes, c.maxBucket),
+          c.nHashes, c.minJaccard)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val clusters = cache(graft.er.Clustering.connectedComponents(
+          df.sparkSession,
+          exactEdges.unionByName(nearEdges).unionByName(contEdges)))
+        c.copy(clusters = clusters)
+      case None =>
+        buildSurvivorIndex(df, idCol, textCol, shingleK, nHashes,
+          rowsPerBand, minJaccard, maxBucket, cache,
+          extraEdges = Some(contEdges))
+    }
     FullSurvivorIndex(core, tokFreq, toks,
       cache(Queries.contPrefixExplode(toks)),
       cache(Queries.contFullExplode(toks)),

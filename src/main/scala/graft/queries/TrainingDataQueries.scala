@@ -235,7 +235,10 @@ object TrainingDataQueries {
         docs(spark, dir).where(!incrIsNewDoc), "doc_id", "text",
         shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
         minJaccard = MhMinJaccard, maxBucket = Dedup.DefaultMaxBucket,
-        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))) { idx =>
+        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        // one physical LSH index per session: reuse the core memo's
+        // at-rest frames, recompute only the containment-aware clusters
+        reuseCore = Some(survivorIndexShared(spark, dir)))) { idx =>
       idx.frames
         .foreach(f => try f.unpersist(false) catch { case _: Throwable => () })
     }

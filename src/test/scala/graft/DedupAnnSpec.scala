@@ -353,6 +353,17 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(4010L) === ((4008L, "contained")), s"standing victim: ${got(4010L)}")
     assert(got(4000L) === ((4000L, "keep")))
     assert(got(4008L) === ((4008L, "keep")))
+    // the reuseCore path (one physical LSH index, containment-aware
+    // clusters recomputed from the at-rest frames) is result-identical
+    val fidx2 = Dedup.buildFullSurvivorIndex(standing, "doc_id", "text",
+      reuseCore = Some(Dedup.buildSurvivorIndex(standing, "doc_id", "text")))
+    val got2 = table(Dedup.survivorsFullIncremental(fidx2, batch, "doc_id", "text"))
+    assert(got2 === want, "reuseCore fold diverged from the fresh-build fold")
+    // parameter drift fails loudly (the NearPairTable rule)
+    assertThrows[IllegalArgumentException] {
+      Dedup.buildFullSurvivorIndex(standing, "doc_id", "text", nHashes = 32,
+        reuseCore = Some(Dedup.buildSurvivorIndex(standing, "doc_id", "text")))
+    }
   }
 
   test("curate_pipeline: staged verdicts compose the three gated stages consistently") {

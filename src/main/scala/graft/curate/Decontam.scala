@@ -47,7 +47,7 @@ object Decontam {
 
   /** One row per (doc, distinct gram): the relation both operators
     * consume. */
-  private[curate] def docGrams(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def docGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
         explode(tokenNgrams(col(textCol), n)).as("gram"))
@@ -191,5 +191,22 @@ object Decontam {
       .select(col("doc_id"), col("n_grams"),
         (col("n_dup_grams") + coalesce(col("inc"), lit(0L))).as("n_dup_grams"))
     sStats.unionByName(bAll)
+  }
+
+  /** The refreshed index AFTER folding `batch` — what a streaming sink
+    * persists as the next version: grams unioned, frequencies merged
+    * from the batch delta (touched grams only change), stats = the
+    * incremental fold's output. */
+  def foldDupNgramIndex(idx: DupNgramIndex, batch: DataFrame,
+      idCol: String, textCol: String): DupNgramIndex = {
+    val bGrams = docGrams(batch, idCol, textCol, idx.n)
+    val freq2 = idx.freq
+      .join(bGrams.groupBy("gram").agg(count(lit(1)).as("dgf")),
+        Seq("gram"), "full_outer")
+      .select(col("gram"),
+        (coalesce(col("gf"), lit(0L)) + coalesce(col("dgf"), lit(0L))).as("gf"))
+    DupNgramIndex(
+      idx.grams.unionByName(bGrams), freq2,
+      dupNgramStatsIncremental(idx, batch, idCol, textCol), idx.n)
   }
 }

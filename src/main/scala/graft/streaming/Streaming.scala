@@ -292,6 +292,28 @@ object Streaming {
       * re-foldable / skippable) or a marker-complete newest version. */
     def commit(batchId: Long, df: DataFrame, prev: Option[Long]): Unit = {
       df.write.mode("overwrite").parquet(versionPath(batchId))
+      sealCommit(batchId, prev)
+    }
+
+    /** Multi-relation version: each part lands as a SUBDIR of the
+      * version dir, the marker seals them all together, so a crash
+      * mid-write can never expose half a version (a version dir without
+      * the marker is never a recovery target). */
+    def commitParts(batchId: Long, parts: Seq[(String, DataFrame)],
+        prev: Option[Long]): Unit = {
+      parts.foreach { case (name, df) =>
+        df.write.mode("overwrite")
+          .parquet(new Path(new Path(versionPath(batchId)), name).toString)
+      }
+      sealCommit(batchId, prev)
+    }
+
+    def readPart(v: Long, name: String): DataFrame =
+      spark.read.parquet(new Path(new Path(versionPath(v)), name).toString)
+
+    /** Marker + pointer swap + prune — the shared tail of both commit
+      * shapes. */
+    private def sealCommit(batchId: Long, prev: Option[Long]): Unit = {
       val mk = fs.create(markerPath(batchId), true)
       try mk.write("ok".getBytes("UTF-8")) finally mk.close()
       val tmp = new Path(root, "_LATEST.tmp")
@@ -400,6 +422,70 @@ object Streaming {
         StructField("id", LongType),
         StructField("source", StringType),
         StructField("h", LongType))))
+
+  /** Streaming dup-ngram maintenance (the dc_dup_ngrams_incr fold as a
+    * foreachBatch sink): documents stream in; each micro-batch folds into
+    * the standing gram-frequency index (grams / freq / stats — one
+    * multi-part version per batch, sealed atomically by the shared
+    * marker, so a crash can never expose half an index). Dup flips are
+    * monotone, so the fold touches only batch-carried grams. */
+  def streamingDupNgrams(
+      docs: DataFrame,
+      n: Int,
+      stateDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldDupNgramBatch(batch.toDF(), n, stateDir, batchId, idCol, textCol))
+      .start()
+
+  /** One dup-ngram fold: merge a micro-batch of documents into the
+    * standing index under `stateDir`. Public for batch backfill. */
+  def foldDupNgramBatch(
+      batch: DataFrame,
+      n: Int,
+      stateDir: String,
+      batchId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val vs = new VersionedState(spark, stateDir)
+    val prev = vs.readLatest()
+    if (prev.exists(_ >= batchId)) return
+    if (batch.isEmpty) return
+    val next = prev match {
+      case None =>
+        graft.curate.Decontam.buildDupNgramIndex(batch, idCol, textCol, n)
+      case Some(v) =>
+        graft.curate.Decontam.foldDupNgramIndex(
+          graft.curate.Decontam.DupNgramIndex(
+            vs.readPart(v, "grams"), vs.readPart(v, "freq"),
+            vs.readPart(v, "stats"), n),
+          batch, idCol, textCol)
+    }
+    vs.commitParts(batchId,
+      Seq("grams" -> next.grams, "freq" -> next.freq, "stats" -> next.stats),
+      prev)
+  }
+
+  /** The (doc_id, n_grams, n_dup_grams) table a [[streamingDupNgrams]]
+    * query has built so far (empty before the first fold). */
+  def currentDupNgrams(spark: SparkSession, stateDir: String): DataFrame = {
+    val vs = new VersionedState(spark, stateDir)
+    vs.readLatest() match {
+      case Some(v) => vs.readPart(v, "stats")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("n_grams", LongType),
+            StructField("n_dup_grams", LongType))))
+    }
+  }
 
   val counterRowSchema: StructType = StructType(Seq(
     StructField("mode", StringType),

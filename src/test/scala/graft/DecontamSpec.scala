@@ -85,4 +85,44 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(1L)._2 === 1L, s"standing flip missed: ${got(1L)}")
     assert(got(10L)._2 >= 1L)
   }
+
+  test("streaming dup-ngram maintenance: two-wave fold equals batch stats; replay is a no-op") {
+    import java.nio.file.Files
+    import graft.streaming.Streaming
+    val docsDir = Files.createTempDirectory("dng_stream_docs").toString
+    val stateDir = Files.createTempDirectory("dng_stream_state").toString
+    val ckptDir = Files.createTempDirectory("dng_stream_ckpt").toString
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    // wave 2 duplicates a gram that was UNIQUE in wave 1 — the
+    // cross-version flip path
+    val wave1 = Seq((1L, "a b c d e f g h i"), (2L, "q1 q2 q3 q4 q5 q6 q7 q8"))
+    val wave2 = Seq((10L, "y0 a b c d e f g h"), (11L, "m1 m2 m3 m4 m5 m6 m7 m8"))
+    wave1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(docsDir)
+    val input = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(docsDir)
+    val q = Streaming.streamingDupNgrams(input, n = 8, stateDir, ckptDir)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    try {
+      q.processAllAvailable()
+      assert(table(Streaming.currentDupNgrams(spark, stateDir)) ===
+        table(Decontam.dupNgramStats(wave1.toDF("doc_id", "text"), "doc_id", "text", n = 8)))
+      wave2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(docsDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = table(Streaming.currentDupNgrams(spark, stateDir))
+    val want = table(Decontam.dupNgramStats(
+      (wave1 ++ wave2).toDF("doc_id", "text"), "doc_id", "text", n = 8))
+    assert(got === want, s"stream != batch: $got vs $want")
+    assert(got(1L)._2 === 1L, "wave-1 doc's gram must flip dup when wave 2 repeats it")
+    // replayed batchId: no refold
+    Streaming.foldDupNgramBatch(
+      Seq((99L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text"), 8, stateDir, 1L)
+    assert(table(Streaming.currentDupNgrams(spark, stateDir)) === want,
+      "replayed batchId must not refold")
+    val vDirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v_"))
+    assert(vDirs.length <= 2, s"stale versions not pruned: ${vDirs.mkString(",")}")
+  }
 }

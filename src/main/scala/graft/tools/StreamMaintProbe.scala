@@ -94,7 +94,43 @@ object StreamMaintProbe {
     println(s"[probe] source-cap state vs batch cap: " +
       (if (gotK == wantK) s"EXACT (${gotK.size} kept)"
        else s"MISMATCH (${(gotK -- wantK).size} extra, ${(wantK -- gotK).size} missing)"))
-    if (diffC != 0 || gotK != wantK) sys.exit(1)
+
+    // ---- streaming dup-ngram maintenance over 3 waves (round-6) ----
+    // synthetic text: 12 tokens from a small shared vocabulary so waves
+    // genuinely duplicate each other's 8-grams (flip path exercised at
+    // volume); ~40k docs/wave
+    def textWave(w: Int, n: Int): DataFrame =
+      spark.range(n).select(
+        (col("id") + lit(w.toLong * 1000000L)).as("doc_id"),
+        concat_ws(" ", (0 until 12).map(k =>
+          concat(lit("t"), pmod(xxhash64(col("id"), lit(w * 31 + k)), lit(40)))): _*)
+          .as("text"))
+    val txtDir = Files.createTempDirectory("smp_txt").toString
+    val dngState = Files.createTempDirectory("smp_dng_state").toString
+    val dngCkpt = Files.createTempDirectory("smp_dng_ckpt").toString
+    val txtSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tin = spark.readStream.schema(txtSchema)
+      .option("maxFilesPerTrigger", "1").parquet(txtDir)
+    val tq = Streaming.streamingDupNgrams(tin, 8, dngState, dngCkpt)
+    val txtRows = 40000
+    try {
+      (0 until 3).foreach { w =>
+        textWave(w, txtRows).coalesce(4).write.mode("append").parquet(txtDir)
+        val t0 = System.nanoTime()
+        tq.processAllAvailable()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] dup-ngram fold wave=$w: $s%.2f s (${txtRows / s}%.0f docs/s)")
+      }
+    } finally tq.stop()
+    val gotD = Streaming.currentDupNgrams(spark, dngState)
+    val allTxt = (0 until 3).map(textWave(_, txtRows)).reduce(_ unionAll _)
+    val wantD = graft.curate.Decontam.dupNgramStats(allTxt, "doc_id", "text", n = 8)
+    val diffD = gotD.unionAll(wantD).groupBy("doc_id", "n_grams", "n_dup_grams")
+      .count().where(col("count") =!= 2).count()
+    println(s"[probe] dup-ngram state vs batch stats: " +
+      (if (diffD == 0) "EXACT" else s"MISMATCH ($diffD rows)"))
+    if (diffC != 0 || gotK != wantK || diffD != 0) sys.exit(1)
     spark.stop()
   }
 }

@@ -102,6 +102,55 @@ object MaintSf1Smoke {
     }
     println(f"[maintsf1] er_clusters_incr fold (min-of-2): $bestCc%.1f s, " +
       f"peak storage $storageMb%.0f MB")
+    clusters.unpersist(true)
+
+    // ---- part 3 (round-6 second wave): containment-aware fold at 10x ----
+    // the same corpus with synthetic (lang, source) blocks for the
+    // containment tier (4 langs x 10 sources)
+    val corpusLS = corpus
+      .withColumn("lang", concat(lit("l"), pmod(xxhash64(col("doc_id"), lit(101)), lit(4))))
+      .withColumn("source", concat(lit("s"), pmod(xxhash64(col("doc_id"), lit(102)), lit(10))))
+      .localCheckpoint(true)
+    val standingLS = corpusLS.where(!isBatch)
+    val batchLS = corpusLS.where(isBatch).localCheckpoint(true)
+    val fidx = time("dd full-index bootstrap (one-time setup)") {
+      val ix = Dedup.buildFullSurvivorIndex(standingLS, "doc_id", "text",
+        minJaccard = 0.35,
+        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      ix.frames.foreach(_.count())
+      ix
+    }
+    println(f"[maintsf1] dd full storage after bootstrap: $storageMb%.0f MB")
+    var bestFull = Double.MaxValue
+    (1 to 2).foreach { _ =>
+      val t0 = System.nanoTime()
+      val n = Dedup.survivorsFullIncremental(fidx, batchLS, "doc_id", "text").count()
+      Dedup.releaseSignatures()
+      bestFull = math.min(bestFull, (System.nanoTime() - t0) / 1e9)
+      require(n == corpusLS.count(), "fold must re-emit the union decision table")
+    }
+    println(f"[maintsf1] dd_survivors_full_incr fold (min-of-2): $bestFull%.1f s, " +
+      f"peak storage $storageMb%.0f MB")
+    fidx.frames.foreach(_.unpersist(true))
+
+    // ---- part 4 (round-6 second wave): dup-ngram fold at 10x ----
+    val didx = time("dup-ngram bootstrap (one-time setup)") {
+      val ix = graft.curate.Decontam.buildDupNgramIndex(standing, "doc_id", "text",
+        n = 8, cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      ix.frames.foreach(_.count())
+      ix
+    }
+    println(f"[maintsf1] dup-ngram storage after bootstrap: $storageMb%.0f MB")
+    var bestDng = Double.MaxValue
+    (1 to 2).foreach { _ =>
+      val t0 = System.nanoTime()
+      val n = graft.curate.Decontam.dupNgramStatsIncremental(
+        didx, batch, "doc_id", "text").count()
+      bestDng = math.min(bestDng, (System.nanoTime() - t0) / 1e9)
+      require(n == corpus.count(), "fold must re-emit the union stats table")
+    }
+    println(f"[maintsf1] dc_dup_ngrams_incr fold (min-of-2): $bestDng%.1f s, " +
+      f"peak storage $storageMb%.0f MB")
     spark.stop()
   }
 }

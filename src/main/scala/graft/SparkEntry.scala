@@ -82,6 +82,7 @@ object SparkEntry {
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
     "ann_lsh_topk" -> (TrainingDataQueries.annLshTopk(_, _)),
     "ann_ivf_topk" -> (TrainingDataQueries.annIvfTopk(_, _)),
+    "ann_ivf_incr" -> (TrainingDataQueries.annIvfIncr(_, _)),
     "ann_recall" -> (TrainingDataQueries.annRecall(_, _)),
     "ta_langid" -> (TrainingDataQueries.taLangid(_, _)),
     "ta_quality" -> (TrainingDataQueries.taQuality(_, _)),
@@ -224,6 +225,7 @@ object SparkEntry {
     "dc_dup_ngrams_incr" -> AuxOracles.dcDupNgramsSql,
     "dd_embedding_dups" -> AuxOracles.ddEmbeddingDupsSql,
     "ann_ivf_topk" -> AuxOracles.annIvfTopkSql,
+    "ann_ivf_incr" -> AuxOracles.annIvfIncrSql,
     "dd_minhash_pairs" -> AuxOracles.ddMinhashPairsSql,
     "dd_simhash_pairs" -> AuxOracles.ddSimhashPairsSql,
     "ann_lsh_topk" -> AuxOracles.annLshTopkSql,

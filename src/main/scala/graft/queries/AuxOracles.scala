@@ -578,9 +578,17 @@ object AuxOracles {
     * with order-exact double folds over the sample, whole-corpus cell
     * assignment, per-query nProbe probing, and exact cosine re-rank.
     * Only the 64-dim width stays pinned (the testdata embedding shape). */
-  val annIvfTopkSql: String =
+  /** IVF replay parameterized by the TRAINING predicate: autoNLists,
+    * the splitmix sample order, and the Lloyd rounds run over the rows
+    * matching `trainPred`, while assignment and the query set always
+    * cover the FULL corpus — `TRUE` reproduces the one-shot ann_ivf_topk
+    * exactly; the standing-only predicate replays ann_ivf_incr's frozen
+    * centroids (engine: Ann.buildIvfIndex on standing + ivfAppend of the
+    * batch — incremental == this replay bit-for-bit). */
+  private def ivfTopkSqlWith(trainPred: String): String =
     s"""WITH h0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-       |            CAST(vec_id AS HUGEINT) AS x FROM embeddings),
+       |            CAST(vec_id AS HUGEINT) AS x FROM embeddings WHERE $trainPred),
+       |allv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |h1 AS (SELECT id, v, (x + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
        |h2 AS (SELECT id, v, ${mulMod64("xor(z, z // 1073741824)", 0xBF58476D1CE4E5B9L)} AS z FROM h1),
        |h3 AS (SELECT id, v, ${mulMod64("xor(z, z // 134217728)", 0x94D049BB133111EBL)} AS z FROM h2),
@@ -591,7 +599,8 @@ object AuxOracles {
        |                       THEN z - 18446744073709551616 ELSE z END AS BIGINT) ASC, id ASC) AS pos
        |         FROM h4),
        |nl AS (SELECT greatest(4, least(65536,
-       |         CAST(round(sqrt(count(*))) AS INTEGER))) AS lists FROM embeddings),
+       |         CAST(round(sqrt(count(*))) AS INTEGER))) AS lists
+       |       FROM embeddings WHERE $trainPred),
        |train AS (SELECT s.* FROM samp s, nl
        |          WHERE s.pos <= greatest(4096, nl.lists)),
        |cent0 AS (SELECT s.pos - 1 AS c, s.v FROM train s, nl WHERE s.pos <= nl.lists),
@@ -602,13 +611,13 @@ object AuxOracles {
        |  SELECT s.id AS nbr_id, s.v AS cv, ce.c AS cell,
        |         row_number() OVER (PARTITION BY s.id
        |           ORDER BY list_cosine_similarity(ce.v, s.v) DESC, ce.c ASC) AS rn
-       |  FROM samp s, cent3 ce),
+       |  FROM allv s, cent3 ce),
        |corpus_cells AS (SELECT cell, nbr_id, cv FROM assignf WHERE rn = 1),
        |qprobe AS (
        |  SELECT q.id AS query_id, q.v AS qv, ce.c AS cell,
        |         row_number() OVER (PARTITION BY q.id
        |           ORDER BY list_cosine_similarity(ce.v, q.v) DESC, ce.c ASC) AS prn
-       |  FROM (SELECT id, v FROM samp WHERE id < ${TrainingDataQueries.AnnQueryMax}) q, cent3 ce),
+       |  FROM (SELECT id, v FROM allv WHERE id < ${TrainingDataQueries.AnnQueryMax}) q, cent3 ce),
        |probes AS (SELECT query_id, qv, cell FROM qprobe WHERE prn <= ${TrainingDataQueries.AnnNProbe}),
        |cand AS (
        |  SELECT p.query_id, c.nbr_id,
@@ -617,6 +626,13 @@ object AuxOracles {
        |  FROM probes p JOIN corpus_cells c ON p.cell = c.cell
        |  WHERE c.nbr_id <> p.query_id)
        |SELECT query_id, rank, nbr_id FROM cand WHERE rank <= ${TrainingDataQueries.AnnK}""".stripMargin
+
+  val annIvfTopkSql: String = ivfTopkSqlWith("TRUE")
+
+  /** ann_ivf_incr: frozen centroids trained on the standing slice,
+    * assignment over the union — the incremental-IVF equality gate. */
+  val annIvfIncrSql: String =
+    ivfTopkSqlWith(s"vec_id % ${TrainingDataQueries.AnnIncrMod} <> 0")
 
   /** LSH ANN replay: identical plane/signature machinery to
     * ddEmbeddingDupsSql (same seed-42 hyperplanes), query side restricted

@@ -43,6 +43,10 @@ object TrainingDataQueries {
     * the oracle replays it without a hash pipeline. */
   private[graft] val DecontamEvalMod = 20L
   private[graft] val DecontamEvalRes = 7L
+  /** ann_ivf_incr's vector split: vec_id % AnnIncrMod == 0 is the "new
+    * crawl" batch (plain modulo so the oracle replays it without a hash
+    * pipeline); the rest is the standing index the centroids froze on. */
+  private[graft] val AnnIncrMod = 4L
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -310,6 +314,34 @@ object TrainingDataQueries {
         .select(lit(method).as("method"), col("query_id"), col("n_matched"), col("k"))
     tagged(annLshTopk(spark, dir), "lsh")
       .unionByName(tagged(annIvfTopk(spark, dir), "ivf"))
+  }
+
+  /** Session memo of the standing IVF index (frozen centroids trained on
+    * the standing 3/4 slice; the survivorIdxMemo pattern). */
+  private val ivfIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Ann.IvfIndex]()
+
+  private[graft] def ivfIndexShared(spark: SparkSession, dir: String): Ann.IvfIndex =
+    graft.util.SessionMemo.cachedEntry(ivfIdxMemo, spark, dir)(
+      Ann.buildIvfIndex(spark,
+        embs(spark, dir).where(pmod(col("vec_id"), lit(AnnIncrMod)) =!= 0),
+        "vec_id", "embedding",
+        cache = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))) { idx =>
+      try idx.assigned.unpersist(false) catch { case _: Throwable => () }
+    }
+
+  /** Incremental IVF maintenance (round-6): append the 1/4 "new crawl"
+    * vectors to the standing index (map-side assignment against the
+    * FROZEN centroids — no retraining) and search the catalog query set
+    * over the union. Oracle: the IVF replay with its training CTEs
+    * restricted to the standing slice — incremental == frozen-centroid
+    * batch exactly. */
+  def annIvfIncr(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = Ann.ivfAppend(spark, ivfIndexShared(spark, dir),
+      e.where(pmod(col("vec_id"), lit(AnnIncrMod)) === 0), "vec_id", "embedding")
+    Ann.ivfSearchIndex(spark, idx, e.where(col("vec_id") < AnnQueryMax),
+      "vec_id", "embedding", k = AnnK, nProbe = AnnNProbe).drop("cosine")
   }
 
   def taLangid(spark: SparkSession, dir: String): DataFrame =

@@ -154,6 +154,68 @@ object Ann extends Serializable {
     ivfSearch(spark, assigned, queries, idCol, vecCol, k, nProbe)
   }
 
+  /** The IVF index at rest — frozen centroids + the assigned-cell
+    * relation: the similarity-search member of the incremental
+    * maintenance family. A deployment trains once per re-index, then
+    * APPENDS: new vectors assign to the FROZEN centroids map-side (one
+    * broadcast of the nLists×dim matrix, no retraining, no shuffle) and
+    * land in their cells. Frozen deliberately — assignment and probing
+    * only need a consistent cell geometry; recall degrades only when the
+    * data DISTRIBUTION drifts, which is a re-index decision, not a fold
+    * (the frozen-token-order argument of Dedup.FullSurvivorIndex). */
+  final case class IvfIndex(
+      assigned: DataFrame,
+      centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+
+  /** Bootstrap the standing IVF index (autoNLists / Lloyd over the
+    * standing corpus — identical internals to [[ivfTopK]]'s build). */
+  def buildIvfIndex(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 0,
+      iters: Int = 3,
+      trainSample: Int = 4096,
+      cache: DataFrame => DataFrame = identity): IvfIndex = {
+    val (assigned, centB) =
+      ivfAssign(spark, corpus, idCol, vecCol, nLists, iters, trainSample)
+    IvfIndex(cache(assigned), centB)
+  }
+
+  /** Fold a batch of NEW vectors into the index: map-side nearest-cell
+    * assignment against the frozen centroids, appended to the standing
+    * relation (batch-scale; at deployment the new rows land as a delta
+    * partition per cell). */
+  def ivfAppend(
+      spark: SparkSession,
+      idx: IvfIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): IvfIndex = {
+    import spark.implicits._
+    val centB = idx.centroids
+    val assignedB = batch
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (nearestCell(centB.value, v.toArray), id, v) }
+      .toDF("cell", "nbr_id", "cv")
+    IvfIndex(idx.assigned.unionByName(assignedB), centB)
+  }
+
+  /** Top-k search over an [[IvfIndex]] (same probe/verify machinery as
+    * the one-shot [[ivfTopK]]). */
+  def ivfSearchIndex(
+      spark: SparkSession,
+      idx: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame =
+    ivfSearch(spark, (idx.assigned, idx.centroids), queries, idCol, vecCol, k, nProbe)
+
   /** Cell assignment stage of ivfTopK, exposed so the index can be built
     * once, inspected (cell-population bounds), and searched repeatedly.
     * Returns (cell, nbr_id, cv) plus the broadcast centroids. */

@@ -398,6 +398,31 @@ class DedupAnnSpec extends AnyFunSuite {
     Dedup.releaseSignatures()
   }
 
+  test("incremental IVF: frozen-centroid append equals one-shot assignment of the union") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val standing = e.where(pmod(col("vec_id"), lit(4)) =!= 0)
+    val batch = e.where(pmod(col("vec_id"), lit(4)) === 0)
+    val queries = e.where(col("vec_id") < 20)
+    val idx = Ann.buildIvfIndex(spark, standing, "vec_id", "embedding")
+    val folded = Ann.ivfAppend(spark, idx, batch, "vec_id", "embedding")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = ranks(Ann.ivfSearchIndex(spark, folded, queries,
+      "vec_id", "embedding", k = 5, nProbe = 24))
+    // one-shot reference: the SAME frozen centroids assign the whole
+    // union at once (empty standing relation + append of everything)
+    val ref = ranks(Ann.ivfSearchIndex(spark,
+      Ann.ivfAppend(spark, idx.copy(assigned = idx.assigned.limit(0)), e,
+        "vec_id", "embedding"),
+      queries, "vec_id", "embedding", k = 5, nProbe = 24))
+    assert(got === ref, "append fold diverged from one-shot assignment")
+    // batch vectors must be reachable: some neighbor is batch-side
+    assert(got.exists { case (_, _, nbr) => nbr % 4 == 0 },
+      "no batch vector ever surfaced as a neighbor — fixture too easy or append broken")
+    graft.dedup.Dedup.releaseSignatures()
+  }
+
   test("ANN recall tally: self-recall is k, disjoint is 0, partial counts exactly") {
     val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
       (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L))

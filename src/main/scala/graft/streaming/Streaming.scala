@@ -487,6 +487,74 @@ object Streaming {
     }
   }
 
+  /** Streaming IVF maintenance (the ann_ivf_incr fold as a foreachBatch
+    * sink): vectors stream in; the FIRST micro-batch trains the
+    * centroids (the bootstrap — a deployment would usually seed the
+    * state with a batch-built index instead), every later batch assigns
+    * against the frozen centroids and appends. State parts per version:
+    * "assigned" (cell, nbr_id, cv) + "centroids" (c, v) — sealed
+    * together by the shared marker. */
+  def streamingIvf(
+      vecs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldIvfBatch(batch.toDF(), stateDir, batchId, idCol, vecCol))
+      .start()
+
+  private def centroidsDf(spark: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq.toDF("c", "v")
+  }
+
+  /** One IVF fold: train on the first batch, frozen-centroid append on
+    * every later one. Public for batch backfill. */
+  def foldIvfBatch(
+      batch: DataFrame,
+      stateDir: String,
+      batchId: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val vs = new VersionedState(spark, stateDir)
+    val prev = vs.readLatest()
+    if (prev.exists(_ >= batchId)) return
+    if (batch.isEmpty) return
+    val next = prev match {
+      case None =>
+        graft.sim.Ann.buildIvfIndex(spark, batch, idCol, vecCol)
+      case Some(v) =>
+        graft.sim.Ann.ivfAppend(spark, readIvfIndex(spark, vs, v), batch,
+          idCol, vecCol)
+    }
+    vs.commitParts(batchId,
+      Seq("assigned" -> next.assigned,
+        "centroids" -> centroidsDf(spark, next.centroids.value)),
+      prev)
+    graft.dedup.Dedup.releaseSignatures()
+  }
+
+  private def readIvfIndex(spark: SparkSession, vs: VersionedState,
+      v: Long): graft.sim.Ann.IvfIndex = {
+    val cents = vs.readPart(v, "centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    graft.sim.Ann.IvfIndex(vs.readPart(v, "assigned"),
+      spark.sparkContext.broadcast(cents))
+  }
+
+  /** The standing IVF index a [[streamingIvf]] query has built so far
+    * (None before the first fold); search it with Ann.ivfSearchIndex. */
+  def currentIvfIndex(spark: SparkSession, stateDir: String): Option[graft.sim.Ann.IvfIndex] = {
+    val vs = new VersionedState(spark, stateDir)
+    vs.readLatest().map(readIvfIndex(spark, vs, _))
+  }
+
   val counterRowSchema: StructType = StructType(Seq(
     StructField("mode", StringType),
     StructField("category", StringType),

@@ -125,4 +125,41 @@ class DecontamSpec extends AnyFunSuite {
     val vDirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v_"))
     assert(vDirs.length <= 2, s"stale versions not pruned: ${vDirs.mkString(",")}")
   }
+
+  test("streaming IVF maintenance: train-on-first, frozen append after; equals the batch fold") {
+    import java.nio.file.Files
+    import graft.streaming.Streaming
+    import graft.sim.Ann
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val wave1 = e.where(pmod(col("vec_id"), lit(4)) =!= 0)
+    val wave2 = e.where(pmod(col("vec_id"), lit(4)) === 0)
+    val vecsDir = Files.createTempDirectory("ivf_stream_vecs").toString
+    val stateDir = Files.createTempDirectory("ivf_stream_state").toString
+    val ckptDir = Files.createTempDirectory("ivf_stream_ckpt").toString
+    wave1.coalesce(1).write.mode("append").parquet(vecsDir)
+    val input = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(vecsDir)
+    val q = Streaming.streamingIvf(input, stateDir, ckptDir)
+    try {
+      q.processAllAvailable()
+      wave2.coalesce(1).write.mode("append").parquet(vecsDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = Streaming.currentIvfIndex(spark, stateDir)
+      .getOrElse(fail("no IVF state after two folds"))
+    val queries = e.where(col("vec_id") < 20)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nbr_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = ranks(Ann.ivfSearchIndex(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 24))
+    // the independent batch fold: bootstrap on wave 1, append wave 2
+    val want = ranks(Ann.ivfSearchIndex(spark,
+      Ann.ivfAppend(spark,
+        Ann.buildIvfIndex(spark, wave1, "vec_id", "embedding"),
+        wave2, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", k = 5, nProbe = 24))
+    graft.dedup.Dedup.releaseSignatures()
+    assert(got === want, "streamed IVF state diverged from the batch fold")
+  }
 }

@@ -493,7 +493,13 @@ object Streaming {
     * state with a batch-built index instead), every later batch assigns
     * against the frozen centroids and appends. State parts per version:
     * "assigned" (cell, nbr_id, cv) + "centroids" (c, v) — sealed
-    * together by the shared marker. */
+    * together by the shared marker.
+    *
+    * CAVEAT: appends are batch-boundary-insensitive, TRAINING is not —
+    * the centroids freeze on exactly the rows of micro-batch 0, so what
+    * lands in that batch (source trigger config, e.g. a file-source's
+    * maxFilesPerTrigger) decides the training set. Bootstrap from a
+    * batch-built index when that matters. */
   def streamingIvf(
       vecs: DataFrame,
       stateDir: String,

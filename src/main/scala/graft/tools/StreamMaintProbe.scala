@@ -130,7 +130,57 @@ object StreamMaintProbe {
       .count().where(col("count") =!= 2).count()
     println(s"[probe] dup-ngram state vs batch stats: " +
       (if (diffD == 0) "EXACT" else s"MISMATCH ($diffD rows)"))
-    if (diffC != 0 || gotK != wantK || diffD != 0) sys.exit(1)
+
+    // ---- streaming IVF maintenance over 3 waves (round-6) ----
+    // synthetic 64-dim vectors, 30k/wave; wave 0 trains the centroids,
+    // waves 1-2 are frozen-centroid appends
+    def vecWave(w: Int, n: Int): DataFrame =
+      spark.range(n).select(
+        (col("id") + lit(w.toLong * 1000000L)).as("vec_id"),
+        expr("transform(sequence(0, 63), d -> " +
+          s"cast(pmod(xxhash64(id, d, $w), 1000) as double) / 500.0 - 1.0)")
+          .as("embedding"))
+    val vecDir = Files.createTempDirectory("smp_vec").toString
+    val ivfState = Files.createTempDirectory("smp_ivf_state").toString
+    val ivfCkpt = Files.createTempDirectory("smp_ivf_ckpt").toString
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val vin = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", "1").parquet(vecDir)
+    val vq = Streaming.streamingIvf(vin, ivfState, ivfCkpt)
+    val vecRows = 30000
+    try {
+      (0 until 3).foreach { w =>
+        // wave 0 MUST land as one file: with maxFilesPerTrigger=1 each
+        // file is its own micro-batch, and the centroids train on the
+        // FIRST batch alone — a split training wave would freeze
+        // centroids from a fraction of it (appends are batch-boundary-
+        // insensitive, training is not)
+        vecWave(w, vecRows).coalesce(if (w == 0) 1 else 4)
+          .write.mode("append").parquet(vecDir)
+        val t0 = System.nanoTime()
+        vq.processAllAvailable()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] ivf fold wave=$w: $s%.2f s (${vecRows / s}%.0f vecs/s)")
+      }
+    } finally vq.stop()
+    val ivfIdx = Streaming.currentIvfIndex(spark, ivfState).get
+    val queries = vecWave(0, vecRows).where(col("vec_id") < 20)
+    def ranks(df: DataFrame) = df.select("query_id", "rank", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val gotV = ranks(graft.sim.Ann.ivfSearchIndex(spark, ivfIdx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 24))
+    val wantV = ranks(graft.sim.Ann.ivfSearchIndex(spark,
+      (1 until 3).map(vecWave(_, vecRows)).foldLeft(
+        graft.sim.Ann.buildIvfIndex(spark, vecWave(0, vecRows), "vec_id", "embedding"))(
+        (ix, wv) => graft.sim.Ann.ivfAppend(spark, ix, wv, "vec_id", "embedding")),
+      queries, "vec_id", "embedding", k = 5, nProbe = 24))
+    graft.dedup.Dedup.releaseSignatures()
+    println(s"[probe] ivf state vs batch fold: " +
+      (if (gotV == wantV) s"EXACT (${gotV.size} ranked rows)"
+       else s"MISMATCH (${(gotV -- wantV).size} extra, ${(wantV -- gotV).size} missing)"))
+    if (diffC != 0 || gotK != wantK || diffD != 0 || gotV != wantV) sys.exit(1)
     spark.stop()
   }
 }

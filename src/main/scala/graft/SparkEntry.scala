@@ -91,6 +91,7 @@ object SparkEntry {
     "ta_gopher_filter" -> (TrainingDataQueries.taGopherFilter(_, _)),
     "ta_gopher_charfrac" -> (TrainingDataQueries.taGopherCharfrac(_, _)),
     "curate_pipeline" -> (TrainingDataQueries.curatePipeline(_, _)),
+    "curate_pipeline_full" -> (TrainingDataQueries.curatePipelineFull(_, _)),
     "ta_token_counts" -> (TrainingDataQueries.taTokenCounts(_, _)),
     "ta_fingerprint" -> (TrainingDataQueries.taFingerprint(_, _)),
     "mm_media_stats" -> (TrainingDataQueries.mmMediaStats(_, _)),
@@ -210,6 +211,7 @@ object SparkEntry {
     // fused pipeline + fused survivors: composition oracles over
     // independently-gated dumps (the ann_recall non-circularity pattern)
     "curate_pipeline" -> AuxOracles.curatePipelineSql,
+    "curate_pipeline_full" -> AuxOracles.curatePipelineFullSql,
     "dd_survivors" -> AuxOracles.ddSurvivorsSql,
     "dd_survivors_full" -> AuxOracles.ddSurvivorsFullSql,
     // incremental dedup maintenance must be EXACT: the oracle is the

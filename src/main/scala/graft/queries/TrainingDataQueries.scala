@@ -189,6 +189,70 @@ object TrainingDataQueries {
           .otherwise(lit("keep")).as("verdict"))
   }
 
+  /** The 5-stage fused pipeline (round-6 second wave): the order a real
+    * training-data pipeline applies its curation —
+    *   0. benchmark docs excluded outright (verdict "eval" — they are
+    *      the reference set, never training data),
+    *   1. Gopher quality filter ("gopher"),
+    *   2. benchmark DECONTAMINATION ("decontam" — dropped BEFORE dedup,
+    *      so a contaminated doc can never win a duplicate family and
+    *      take the whole family down with it),
+    *   3. dedup over the remaining docs (exact + near + containment,
+    *      memoized pair tables restricted; "dedup"),
+    *   4. per-source cap over the keepers ("cap"),
+    * else "keep". The contamination flag is per-doc vs the eval gram
+    * set (independent of other training docs), so restricting it to
+    * stage-2 survivors is composition-safe. Oracle: the curate_pipeline
+    * composition extended with the independently-gated dc_decontam
+    * dump. */
+  def curatePipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    val dall = docs(spark, dir)
+    val isEval = pmod(col("doc_id"), lit(DecontamEvalMod)) === lit(DecontamEvalRes)
+    val g = GopherFilter.gopherFilter(dall)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+      .localCheckpoint(true)
+    // (doc_id, contaminated) for every NON-eval doc — the dc_decontam
+    // relation (per-doc predicate; restriction-safe)
+    val dc = dcDecontam(spark, dir)
+      .select(col("doc_id"), col("contaminated")).localCheckpoint(true)
+    val s1 = dall.where(!isEval).select("doc_id")
+      .join(g, Seq("doc_id")).where(col("gopher_keep"))
+      .join(dc, Seq("doc_id")).where(!col("contaminated"))
+      .select("doc_id")
+    val docs1 = dall.join(s1, Seq("doc_id"), "left_semi")
+    val aIds = s1.select(col("doc_id").as("id_a"))
+    val bIds = s1.select(col("doc_id").as("id_b"))
+    val pairs1 = minhashPairsShared(spark, dir)
+      .join(aIds, Seq("id_a"), "left_semi").join(bIds, Seq("id_b"), "left_semi")
+    val cont1 = Queries.ddContainmentPairs(spark, dir)
+      .join(s1.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(s1.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val surv = Dedup.survivors(docs1, "doc_id", "text",
+      shingleK = MhShingleK, nHashes = MhNHashes, rowsPerBand = MhRowsPerBand,
+      minJaccard = MhMinJaccard,
+      nearPairs = Some(Dedup.NearPairTable(pairs1,
+        MhShingleK, MhNHashes, MhRowsPerBand, MhMinJaccard, Dedup.DefaultMaxBucket)),
+      containmentPairs = Some(cont1))
+      .localCheckpoint(true)
+    val s2 = surv.where(col("tier") === "keep").select(col("id").as("doc_id"))
+    val cap = SourceCap.sourceCap(
+      dall.join(s2, Seq("doc_id"), "left_semi"), n = SourceCapN)
+      .select(col("doc_id"), col("kept").as("cap_kept"))
+    dall.select("doc_id")
+      .join(g, Seq("doc_id"), "left")
+      .join(dc, Seq("doc_id"), "left")
+      .join(surv.select(col("id").as("doc_id"),
+        (col("tier") === "keep").as("dedup_keep")), Seq("doc_id"), "left")
+      .join(cap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(isEval, lit("eval"))
+          .when(!col("gopher_keep"), lit("gopher"))
+          .when(col("contaminated"), lit("decontam"))
+          .when(!col("dedup_keep"), lit("dedup"))
+          .when(!col("cap_kept"), lit("cap"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** Character-fraction Gopher tier (round-6): the published rule's
     * native unit — see [[GopherFilter.gopherFilterCharFrac]]. */
   def taGopherCharfrac(spark: SparkSession, dir: String): DataFrame =

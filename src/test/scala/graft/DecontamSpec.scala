@@ -126,6 +126,33 @@ class DecontamSpec extends AnyFunSuite {
     assert(vDirs.length <= 2, s"stale versions not pruned: ${vDirs.mkString(",")}")
   }
 
+  test("curate_pipeline_full: eval exclusion + decontam stage compose with the gated stages") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.TrainingDataQueries.curatePipelineFull(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(got.size === docs.count(), "one verdict per doc")
+    assert(got.values.toSet.subsetOf(
+      Set("eval", "gopher", "decontam", "dedup", "cap", "keep")))
+    // stage 0: the eval slice is excluded outright, nothing else is
+    val evalIds = docs.where(pmod(col("doc_id"), lit(20)) === 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "eval").keySet === evalIds)
+    // stage 2: every decontam verdict is a contaminated gopher-keeper
+    val contaminated = graft.queries.TrainingDataQueries.dcDecontam(spark, dir)
+      .where(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val gopherDrop = graft.queries.TrainingDataQueries.taGopherFilter(spark, dir)
+      .where(!col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "decontam").keySet ===
+      contaminated -- gopherDrop -- evalIds)
+    // no keeper is contaminated or eval
+    val keeps = got.filter(_._2 == "keep").keySet
+    assert((keeps & (contaminated ++ evalIds)).isEmpty)
+    // the fixture must exercise the decontam stage
+    assert(got.values.exists(_ == "decontam") || (contaminated -- gopherDrop).isEmpty,
+      "decontam stage never fired despite contaminated survivors")
+  }
+
   test("streaming IVF maintenance: train-on-first, frozen append after; equals the batch fold") {
     import java.nio.file.Files
     import graft.streaming.Streaming

@@ -77,6 +77,7 @@ object SparkEntry {
     "dd_survivors_incr" -> (TrainingDataQueries.ddSurvivorsIncr(_, _)),
     "dd_survivors_full_incr" -> (TrainingDataQueries.ddSurvivorsFullIncr(_, _)),
     "dc_decontam" -> (TrainingDataQueries.dcDecontam(_, _)),
+    "dc_decontam_spans" -> (TrainingDataQueries.dcDecontamSpans(_, _)),
     "dc_dup_ngrams" -> (TrainingDataQueries.dcDupNgrams(_, _)),
     "dc_dup_ngrams_incr" -> (TrainingDataQueries.dcDupNgramsIncr(_, _)),
     "ann_brute_topk" -> (TrainingDataQueries.annBruteTopk(_, _)),
@@ -221,6 +222,7 @@ object SparkEntry {
     // …and its containment-aware twin against the batch FUSED oracle
     "dd_survivors_full_incr" -> AuxOracles.ddSurvivorsFullSql,
     "dc_decontam" -> AuxOracles.dcDecontamSql,
+    "dc_decontam_spans" -> AuxOracles.dcDecontamSpansSql,
     "dc_dup_ngrams" -> AuxOracles.dcDupNgramsSql,
     // the incremental fold against the SAME batch SQL over the full
     // table (the dd_survivors_incr equality-gate pattern)

@@ -193,6 +193,45 @@ object Decontam {
     sStats.unionByName(bAll)
   }
 
+  /** Span-level decontamination (the GPT-3-appendix removal unit: cut
+    * the overlapping window, keep the rest of the document): per
+    * TRAINING doc, the maximal merged token spans covered by grams that
+    * occur in the eval set. A hit at gram position p covers tokens
+    * [p, p+n-1]; two hit windows merge when they overlap OR touch
+    * (next start ≤ prev start + n), so emitted spans are disjoint with
+    * at least one clean token between them. Output
+    * (doc_id, span_start, span_end), token indices 0-based inclusive;
+    * clean docs emit no rows.
+    *
+    * Scale shape: the position explode is map-side; hit volume is
+    * contamination-scale; the island merge runs in a window PARTITIONED
+    * BY doc (bounded by per-doc gram count, never corpus-wide). */
+  def contaminatedSpans(df: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      isEval.as("is_eval"))
+    val grams = tagged.select(col("doc_id"), col("is_eval"),
+      posexplode(tokenNgrams(col("text"), n)))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "gram")
+    val evalGrams = grams.where(col("is_eval")).select("gram").distinct()
+    val hits = grams.where(!col("is_eval")).join(evalGrams, Seq("gram"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      // first row per doc: lag is NULL → condition NULL → otherwise(0),
+      // the same three-valued arithmetic the DuckDB replay evaluates
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + lit(n.toLong), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("grp", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n.toLong - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
   /** The refreshed index AFTER folding `batch` — what a streaming sink
     * persists as the next version: grams unioned, frequencies merged
     * from the batch delta (touched grams only change), stats = the

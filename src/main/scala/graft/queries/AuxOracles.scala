@@ -940,6 +940,32 @@ object AuxOracles {
       |       coalesce(h.nh, 0) > 0 AS contaminated
       |FROM d LEFT JOIN h USING (doc_id) WHERE NOT ($isEvalPred)""".stripMargin
 
+  /** Span-level decontamination replay (dc_decontam_spans): hit
+    * positions from the same gram relation (0-based), islands merged
+    * with the identical overlap-or-touch rule (break when
+    * pos > lag + n; the first row's NULL lag falls to the ELSE branch in
+    * both engines). */
+  val dcDecontamSpansSql: String = {
+    val n = TrainingDataQueries.DecontamN
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, pos, gram FROM (
+      |        SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}), i ->
+      |                 i - 1)) AS pos,
+      |               unnest(list_transform(range(1, len(toks) - ${n - 2}), i ->
+      |                 array_to_string(toks[i:i + ${n - 1}], ' '))) AS gram FROM d)),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE $isEvalPred),
+      |h AS (SELECT doc_id, pos FROM g JOIN ev USING (gram) WHERE NOT ($isEvalPred)),
+      |m AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $n
+      |             THEN 1 ELSE 0 END AS brk FROM h),
+      |gr AS (SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) + ${n - 1} AS BIGINT) AS span_end
+      |FROM gr GROUP BY doc_id, grp""".stripMargin
+  }
+
   /** Inter-document n-gram duplication replay (dc_dup_ngrams): gram
     * frequency = distinct-doc count, a doc's gram is dup when that count
     * exceeds 1. */

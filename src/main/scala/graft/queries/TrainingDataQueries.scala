@@ -454,6 +454,14 @@ object TrainingDataQueries {
       isEval = pmod(col("doc_id"), lit(DecontamEvalMod)) === lit(DecontamEvalRes),
       n = DecontamN)
 
+  /** Span-level decontamination (round-6): merged contaminated token
+    * windows per training doc — see
+    * [[graft.curate.Decontam.contaminatedSpans]]. */
+  def dcDecontamSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.curate.Decontam.contaminatedSpans(docs(spark, dir), "doc_id", "text",
+      isEval = pmod(col("doc_id"), lit(DecontamEvalMod)) === lit(DecontamEvalRes),
+      n = DecontamN)
+
   /** Inter-document n-gram duplication stats (round-6) — see
     * [[graft.curate.Decontam.dupNgramStats]]. */
   def dcDupNgrams(spark: SparkSession, dir: String): DataFrame =

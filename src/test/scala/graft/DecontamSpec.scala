@@ -37,6 +37,24 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, false)), "short doc carries no grams")
   }
 
+  test("contaminatedSpans: hit windows merge when overlapping or touching, split otherwise") {
+    // n=3 for readable positions; id 7 is the eval doc
+    val df = Seq(
+      (7L, "a b c d"),                        // eval grams: "a b c", "b c d"
+      (1L, "x a b c d y z a b c q"),          // hits at 1,2 (merge) and 7 (split)
+      (2L, "a b c a b c"),                    // hits at 0 and 3 — TOUCHING: one span
+      (3L, "p q r s t u v"))                  // clean
+      .toDF("doc_id", "text")
+    val got = Decontam.contaminatedSpans(df, "doc_id", "text",
+        isEval = pmod(col("doc_id"), lit(20)) === 7, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 1L, 4L),   // hits 1,2 → tokens [1..4]
+      (1L, 7L, 9L),   // hit 7 → tokens [7..9], > one clean token away
+      (2L, 0L, 5L)),  // hits 0,3 touch → the whole doc
+      s"got $got")
+  }
+
   test("dupNgramStats: a gram is dup only when it occurs in ANOTHER document") {
     val df = Seq(
       (1L, "a b c d e f g h i"),        // grams: a..h, b..i

@@ -94,12 +94,19 @@ object Decontam {
     // docGrams dedup makes count(*) exactly that); map-side partial agg,
     // one gram-hash shuffle
     val freq = grams.groupBy("gram").agg(count(lit(1)).as("gf"))
+    statsOver(df.select(col(idCol).as("doc_id")), grams, freq)
+  }
+
+  /** The (doc_id, n_grams, n_dup_grams) rollup shared by the one-shot
+    * query and the index bootstrap — ONE copy of the dup rule, so the
+    * two can never drift apart silently. */
+  private def statsOver(ids: DataFrame, grams: DataFrame,
+      freq: DataFrame): DataFrame = {
     val perDoc = grams.join(freq, Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gf") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
-    df.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    ids.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
@@ -134,15 +141,7 @@ object Decontam {
       n: Int = 8, cache: DataFrame => DataFrame = identity): DupNgramIndex = {
     val grams = cache(docGrams(df, idCol, textCol, n))
     val freq = cache(grams.groupBy("gram").agg(count(lit(1)).as("gf")))
-    val perDoc = grams.join(freq, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("gf") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
-    val stats = cache(df.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams")))
+    val stats = cache(statsOver(df.select(col(idCol).as("doc_id")), grams, freq))
     DupNgramIndex(grams, freq, stats, n)
   }
 
@@ -161,9 +160,16 @@ object Decontam {
     * contract: one row per doc); at 10^12 docs partition the rewrite by
     * touched ranges. */
   def dupNgramStatsIncremental(idx: DupNgramIndex, batch: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    // localCheckpoint: feeds the delta census + the batch-stats join
-    val bGrams = docGrams(batch, idCol, textCol, idx.n).localCheckpoint(true)
+      idCol: String, textCol: String): DataFrame =
+    dupNgramStatsIncrementalFrom(idx, batch.select(col(idCol).as("doc_id")),
+      docGrams(batch, idCol, textCol, idx.n).localCheckpoint(true))
+
+  /** The fold body over an ALREADY-materialized batch gram relation —
+    * shared with [[foldDupNgramIndex]] so a streaming commit pays the
+    * gram explode once, not once per state part. `bGrams` must be the
+    * checkpointed/persisted `docGrams` of the batch. */
+  private def dupNgramStatsIncrementalFrom(idx: DupNgramIndex,
+      bIds: DataFrame, bGrams: DataFrame): DataFrame = {
     val delta = bGrams.groupBy("gram").agg(count(lit(1)).as("dgf"))
     // touched grams' union freq; localCheckpoint: feeds batch stats +
     // the flip detection
@@ -176,7 +182,7 @@ object Decontam {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("ugf") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
-    val bAll = batch.select(col(idCol).as("doc_id"))
+    val bAll = bIds
       .join(bStats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
@@ -211,9 +217,10 @@ object Decontam {
     import org.apache.spark.sql.expressions.Window
     val tagged = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       isEval.as("is_eval"))
+    // posexplode emits (pos, col); only the value column needs a rename
     val grams = tagged.select(col("doc_id"), col("is_eval"),
       posexplode(tokenNgrams(col("text"), n)))
-      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "gram")
+      .withColumnRenamed("col", "gram")
     val evalGrams = grams.where(col("is_eval")).select("gram").distinct()
     val hits = grams.where(!col("is_eval")).join(evalGrams, Seq("gram"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
@@ -238,7 +245,9 @@ object Decontam {
     * incremental fold's output. */
   def foldDupNgramIndex(idx: DupNgramIndex, batch: DataFrame,
       idCol: String, textCol: String): DupNgramIndex = {
-    val bGrams = docGrams(batch, idCol, textCol, idx.n)
+    // ONE gram explode per fold: the checkpointed relation feeds all
+    // three refreshed parts (grams union, freq merge, stats fold)
+    val bGrams = docGrams(batch, idCol, textCol, idx.n).localCheckpoint(true)
     val freq2 = idx.freq
       .join(bGrams.groupBy("gram").agg(count(lit(1)).as("dgf")),
         Seq("gram"), "full_outer")
@@ -246,6 +255,7 @@ object Decontam {
         (coalesce(col("gf"), lit(0L)) + coalesce(col("dgf"), lit(0L))).as("gf"))
     DupNgramIndex(
       idx.grams.unionByName(bGrams), freq2,
-      dupNgramStatsIncremental(idx, batch, idCol, textCol), idx.n)
+      dupNgramStatsIncrementalFrom(idx,
+        batch.select(col(idCol).as("doc_id")), bGrams), idx.n)
   }
 }

@@ -281,10 +281,18 @@ object AuxOracles {
     * gated pair dumps restricted to survivors — the engine's declared
     * semantics); stage 3 replays the per-source cap (splitmix64 HUGEINT)
     * over the dedup keepers. Verdict = first dropping stage. */
-  def curatePipelineSql: String =
+  /** The shared dedup-over-survivors + cap replay of both fused-pipeline
+    * oracles, parameterized by the upstream-stage pieces (the
+    * ivfTopkSqlWith shape — one copy of the label-propagation CC and the
+    * splitmix cap chain, so a fix to either can never silently miss one
+    * pipeline): `extraCtes` (extra stage inputs, e.g. the dc_decontam
+    * dump), `s1Body` (the stage-1 survivor SELECT), `verdictCase` (the
+    * full CASE expression), `extraJoins` (verdict-side LEFT JOINs). */
+  private def curateCompositionSql(extraCtes: String, s1Body: String,
+      verdictCase: String, extraJoins: String): String =
     s"""WITH RECURSIVE
-      |gf AS (SELECT doc_id, keep FROM '{OUT}/ta_gopher_filter/*.parquet'),
-      |s1 AS (SELECT doc_id FROM gf WHERE keep),
+      |gf AS (SELECT doc_id, keep FROM '{OUT}/ta_gopher_filter/*.parquet'),$extraCtes
+      |s1 AS ($s1Body),
       |d AS (SELECT doc_id AS id, md5(text) AS h FROM documents JOIN s1 USING (doc_id)),
       |g AS (SELECT h, min(id) AS gmin, count(*) AS gsz FROM d GROUP BY h),
       |exact_e AS (SELECT d.id AS a, g.gmin AS b FROM d JOIN g ON d.h = g.h WHERE d.id <> g.gmin),
@@ -307,58 +315,40 @@ object AuxOracles {
       |rr AS (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY z) AS rnk FROM hh),
       |capk AS (SELECT doc_id FROM rr WHERE rnk <= ${TrainingDataQueries.SourceCapN})
       |SELECT doc.doc_id,
-      |  CASE WHEN gf.keep IS NOT TRUE THEN 'gopher'
-      |       WHEN s2.doc_id IS NULL THEN 'dedup'
-      |       WHEN capk.doc_id IS NULL THEN 'cap'
-      |       ELSE 'keep' END AS verdict
+      |  $verdictCase AS verdict
       |FROM documents doc
-      |LEFT JOIN gf ON doc.doc_id = gf.doc_id
+      |LEFT JOIN gf ON doc.doc_id = gf.doc_id$extraJoins
       |LEFT JOIN s2 ON doc.doc_id = s2.doc_id
       |LEFT JOIN capk ON doc.doc_id = capk.doc_id""".stripMargin
+
+  def curatePipelineSql: String = curateCompositionSql(
+    extraCtes = "",
+    s1Body = "SELECT doc_id FROM gf WHERE keep",
+    verdictCase =
+      """CASE WHEN gf.keep IS NOT TRUE THEN 'gopher'
+        |       WHEN s2.doc_id IS NULL THEN 'dedup'
+        |       WHEN capk.doc_id IS NULL THEN 'cap'
+        |       ELSE 'keep' END""".stripMargin,
+    extraJoins = "")
 
   /** 5-stage fused-pipeline replay (curate_pipeline_full): the
     * curate_pipeline composition extended with the eval-slice exclusion
     * and the independently-gated dc_decontam dump, in the engine's stage
     * order (eval → gopher → decontam → DEDUP over what remains → cap). */
-  def curatePipelineFullSql: String =
-    s"""WITH RECURSIVE
-      |gf AS (SELECT doc_id, keep FROM '{OUT}/ta_gopher_filter/*.parquet'),
-      |dcm AS (SELECT doc_id, contaminated FROM '{OUT}/dc_decontam/*.parquet'),
-      |s1 AS (SELECT gf.doc_id FROM gf JOIN dcm USING (doc_id)
-      |       WHERE gf.keep AND NOT dcm.contaminated),
-      |d AS (SELECT doc_id AS id, md5(text) AS h FROM documents JOIN s1 USING (doc_id)),
-      |g AS (SELECT h, min(id) AS gmin, count(*) AS gsz FROM d GROUP BY h),
-      |exact_e AS (SELECT d.id AS a, g.gmin AS b FROM d JOIN g ON d.h = g.h WHERE d.id <> g.gmin),
-      |near_e AS (SELECT id_a AS a, id_b AS b FROM '{OUT}/dd_minhash_pairs/*.parquet'
-      |           WHERE id_a IN (SELECT doc_id FROM s1) AND id_b IN (SELECT doc_id FROM s1)),
-      |cont AS (SELECT doc_a, doc_b FROM '{OUT}/dd_containment_pairs/*.parquet'
-      |         WHERE doc_a IN (SELECT doc_id FROM s1) AND doc_b IN (SELECT doc_id FROM s1)),
-      |e AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e
-      |      UNION SELECT doc_a AS a, doc_b AS b FROM cont),
-      |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
-      |lab(n, m) AS (
-      |  SELECT greatest(a, b) AS n, least(a, b) AS m FROM e
-      |  UNION
-      |  SELECT u.b AS n, l.m FROM lab l JOIN und u ON l.n = u.a WHERE l.m < u.b),
-      |mn AS (SELECT n, min(m) AS m FROM lab GROUP BY n),
-      |s2 AS (SELECT d.id AS doc_id FROM d LEFT JOIN mn ON d.id = mn.n
-      |       WHERE coalesce(mn.m, d.id) = d.id),
-      |hh AS (SELECT doc.doc_id, doc.source, ${splitmixInline("doc.doc_id")} AS z
-      |       FROM documents doc JOIN s2 USING (doc_id)),
-      |rr AS (SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY z) AS rnk FROM hh),
-      |capk AS (SELECT doc_id FROM rr WHERE rnk <= ${TrainingDataQueries.SourceCapN})
-      |SELECT doc.doc_id,
-      |  CASE WHEN doc.doc_id % ${TrainingDataQueries.DecontamEvalMod} = ${TrainingDataQueries.DecontamEvalRes} THEN 'eval'
-      |       WHEN gf.keep IS NOT TRUE THEN 'gopher'
-      |       WHEN dcm.contaminated THEN 'decontam'
-      |       WHEN s2.doc_id IS NULL THEN 'dedup'
-      |       WHEN capk.doc_id IS NULL THEN 'cap'
-      |       ELSE 'keep' END AS verdict
-      |FROM documents doc
-      |LEFT JOIN gf ON doc.doc_id = gf.doc_id
-      |LEFT JOIN dcm ON doc.doc_id = dcm.doc_id
-      |LEFT JOIN s2 ON doc.doc_id = s2.doc_id
-      |LEFT JOIN capk ON doc.doc_id = capk.doc_id""".stripMargin
+  def curatePipelineFullSql: String = curateCompositionSql(
+    extraCtes =
+      "\ndcm AS (SELECT doc_id, contaminated FROM '{OUT}/dc_decontam/*.parquet'),",
+    s1Body =
+      """SELECT gf.doc_id FROM gf JOIN dcm USING (doc_id)
+        |       WHERE gf.keep AND NOT dcm.contaminated""".stripMargin,
+    verdictCase =
+      s"""CASE WHEN doc.doc_id % ${TrainingDataQueries.DecontamEvalMod} = ${TrainingDataQueries.DecontamEvalRes} THEN 'eval'
+         |       WHEN gf.keep IS NOT TRUE THEN 'gopher'
+         |       WHEN dcm.contaminated THEN 'decontam'
+         |       WHEN s2.doc_id IS NULL THEN 'dedup'
+         |       WHEN capk.doc_id IS NULL THEN 'cap'
+         |       ELSE 'keep' END""".stripMargin,
+    extraJoins = "\nLEFT JOIN dcm ON doc.doc_id = dcm.doc_id")
 
   /** ANN recall replay: intersection of each approximate top-k with the
     * brute-force floor, recomputed from the three dumped top-k tables.

@@ -199,7 +199,16 @@ object Ann extends Serializable {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
-      .map { case (id, v) => (nearestCell(centB.value, v.toArray), id, v) }
+      .map { case (id, v) =>
+        // fail loudly on dimension drift: cosine() truncates to the
+        // shorter array, so a mismatched vector would silently land in a
+        // wrong cell instead of erroring
+        val dim = centB.value(0).length
+        require(v.length == dim,
+          s"ivfAppend: vector $id has dimension ${v.length} but the frozen " +
+            s"centroids are $dim-dimensional — re-index, don't append")
+        (nearestCell(centB.value, v.toArray), id, v)
+      }
       .toDF("cell", "nbr_id", "cv")
     IvfIndex(idx.assigned.unionByName(assignedB), centB)
   }

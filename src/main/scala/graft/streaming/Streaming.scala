@@ -460,6 +460,13 @@ object Streaming {
       case None =>
         graft.curate.Decontam.buildDupNgramIndex(batch, idCol, textCol, n)
       case Some(v) =>
+        // parameter drift must fail loudly (the SurvivorIndex rule):
+        // folding 13-gram deltas into an 8-gram standing index would
+        // silently corrupt every count, so the state carries its n
+        val storedN = vs.readPart(v, "meta").head().getLong(0)
+        require(storedN == n,
+          s"dup-ngram state at $stateDir was built with n=$storedN but this " +
+            s"fold runs with n=$n — a mismatched fold corrupts the index")
         graft.curate.Decontam.foldDupNgramIndex(
           graft.curate.Decontam.DupNgramIndex(
             vs.readPart(v, "grams"), vs.readPart(v, "freq"),
@@ -467,7 +474,8 @@ object Streaming {
           batch, idCol, textCol)
     }
     vs.commitParts(batchId,
-      Seq("grams" -> next.grams, "freq" -> next.freq, "stats" -> next.stats),
+      Seq("grams" -> next.grams, "freq" -> next.freq, "stats" -> next.stats,
+        "meta" -> spark.range(1).select(lit(n.toLong).as("n"))),
       prev)
   }
 
@@ -531,18 +539,23 @@ object Streaming {
     val prev = vs.readLatest()
     if (prev.exists(_ >= batchId)) return
     if (batch.isEmpty) return
-    val next = prev match {
+    def commit(next: graft.sim.Ann.IvfIndex): Unit =
+      vs.commitParts(batchId,
+        Seq("assigned" -> next.assigned,
+          "centroids" -> centroidsDf(spark, next.centroids.value)),
+        prev)
+    prev match {
       case None =>
-        graft.sim.Ann.buildIvfIndex(spark, batch, idCol, vecCol)
+        commit(graft.sim.Ann.buildIvfIndex(spark, batch, idCol, vecCol))
+        // only the bootstrap registers persistSig scratch (ivfAssign);
+        // release it here, NOT on every batch — an unconditional global
+        // release could unpersist another job's registered scratch on
+        // this thread mid-flight
+        graft.dedup.Dedup.releaseSignatures()
       case Some(v) =>
-        graft.sim.Ann.ivfAppend(spark, readIvfIndex(spark, vs, v), batch,
-          idCol, vecCol)
+        commit(graft.sim.Ann.ivfAppend(spark, readIvfIndex(spark, vs, v),
+          batch, idCol, vecCol))
     }
-    vs.commitParts(batchId,
-      Seq("assigned" -> next.assigned,
-        "centroids" -> centroidsDf(spark, next.centroids.value)),
-      prev)
-    graft.dedup.Dedup.releaseSignatures()
   }
 
   private def readIvfIndex(spark: SparkSession, vs: VersionedState,

@@ -98,8 +98,7 @@ object GopherFilter {
       idCol: String = "doc_id",
       textCol: String = "text",
       nCharsCol: String = "n_chars"): DataFrame = {
-    val cols = TextAnalysis.repetitionCharColumns(col(textCol)) :+
-      ("n_tokens" -> size(split(col(textCol), " ")).cast("long"))
+    val cols = TextAnalysis.repetitionCharColumnsWithTokens(col(textCol))
     val base = cols.foldLeft(docs.select(col(idCol), col(textCol), col(nCharsCol))) {
       case (d, (name, c)) => d.withColumn(name, c)
     }

@@ -426,11 +426,20 @@ object Dedup {
     // containmentPairs: (doc_a = the CONTAINED doc, doc_b = its container)
     // — e.g. graft.queries.Queries.containmentPairs. Edges join the two
     // into one family; the victim flag drives the "contained" tier.
+    // Restricted to df's OWN ids first: a pair table built over a
+    // superset corpus (the session memos) would otherwise make a ghost
+    // id the component minimum — a dangling survivor_id pointing at a
+    // doc with no output row, and a family with no 'keep' representative
+    // (the silent-mismatch class NearPairTable guards against; id-scale
+    // semi-joins, a no-op when the table already matches df).
     // localCheckpoint: the pair table feeds TWO consumers (edges +
     // victims) and its plan is the full prefix-filter join — eager
     // truncation runs it once (pair-scale rows, cheap to hold)
     val cont = containmentPairs.map(
-      _.select(col("doc_a"), col("doc_b")).localCheckpoint(true))
+      _.select(col("doc_a"), col("doc_b"))
+        .join(hashed.select(col("id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(hashed.select(col("id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .localCheckpoint(true))
     val contEdges = cont.map(
       _.select(col("doc_a").as("a"), col("doc_b").as("b")))
     val edges = contEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _)

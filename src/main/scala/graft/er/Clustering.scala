@@ -458,9 +458,14 @@ object Clustering {
     val e = newEdges
       .select(col("a").cast("long"), col("b").cast("long"))
       .where(col("a") =!= col("b"))
+    // eagerly truncated (batch-scale by premise): the guard's count,
+    // the broadcast probe, and incrementalViaBatchCc's universe all
+    // consume this frame — without the checkpoint the explode+distinct
+    // aggregation re-runs per consumer
     val endpoints = e
       .select(explode(array(col("a"), col("b"))).as("id"))
       .distinct()
+      .localCheckpoint(true)
     // the guard's count is one batch-scale aggregation — cheap next to
     // the fold itself, and the price of never OOMing an executor on a
     // mis-sized batch

@@ -183,7 +183,11 @@ object TrainingDataQueries {
         (col("tier") === "keep").as("dedup_keep")), Seq("doc_id"), "left")
       .join(cap, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(!col("gopher_keep"), lit("gopher"))
+        // NULL keep (null text / null n_chars) must drop as 'gopher',
+        // matching the oracle's `keep IS NOT TRUE` — an un-coalesced NOT
+        // would skip the branch and emit a 'keep' that no downstream
+        // stage ever ranked
+        when(!coalesce(col("gopher_keep"), lit(false)), lit("gopher"))
           .when(!col("dedup_keep"), lit("dedup"))
           .when(!col("cap_kept"), lit("cap"))
           .otherwise(lit("keep")).as("verdict"))
@@ -246,7 +250,8 @@ object TrainingDataQueries {
       .join(cap, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(isEval, lit("eval"))
-          .when(!col("gopher_keep"), lit("gopher"))
+          // the curatePipeline NULL-keep rule (oracle: keep IS NOT TRUE)
+          .when(!coalesce(col("gopher_keep"), lit(false)), lit("gopher"))
           .when(col("contaminated"), lit("decontam"))
           .when(!col("dedup_keep"), lit("dedup"))
           .when(!col("cap_kept"), lit("cap"))

@@ -193,6 +193,17 @@ object TextAnalysis {
       .map(n => n -> s.getField(n))
   }
 
+  /** [[repetitionCharColumns]] plus the struct's own n_tokens — the
+    * char-fraction filter needs both, and pulling n_tokens from the same
+    * compiled struct avoids a second per-row tokenization (the
+    * fold-vs-compiled cross-check spec pins the two token counts
+    * equal). */
+  def repetitionCharColumnsWithTokens(text: Column): Seq[(String, Column)] = {
+    val s = repCountsUdf(text)
+    Seq("top_bigram_chars", "top_trigram_chars", "dup_5gram_chars", "n_tokens")
+      .map(n => n -> s.getField(n))
+  }
+
   /** Fold-expression reference for the char-mass counters (see
     * [[repetitionFoldColumns]]). */
   private[graft] def repetitionCharFoldColumns(text: Column): Seq[(String, Column)] = {

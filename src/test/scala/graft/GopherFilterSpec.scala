@@ -81,12 +81,15 @@ class GopherFilterSpec extends AnyFunSuite {
     val toks = text.split(" ", -1).toSeq
     def ngrams(n: Int): Seq[String] =
       if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+    // CODE POINTS, not UTF-16 units (ng.length): the engine convention
+    // counts code points, and the two diverge on supplementary-plane text
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
     def topChars(n: Int): Long = {
       val g = ngrams(n).groupBy(identity)
-      if (g.isEmpty) 0L else g.map { case (ng, occ) => occ.size.toLong * ng.length }.max
+      if (g.isEmpty) 0L else g.map { case (ng, occ) => occ.size.toLong * cp(ng) }.max
     }
     val dup5 = ngrams(5).groupBy(identity).collect {
-      case (ng, occ) if occ.size > 1 => occ.size.toLong * ng.length
+      case (ng, occ) if occ.size > 1 => occ.size.toLong * cp(ng)
     }.sum
     (topChars(2), topChars(3), dup5)
   }

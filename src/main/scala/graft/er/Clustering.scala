@@ -45,11 +45,63 @@ object Clustering {
         run.clusters
       case None =>
         val e = localContract(normalizeEdges(edges)).localCheckpoint(true)
-        val parts = rightSizedParts(spark, e.count())
-        val (clusters, converged) = connectedComponentsLoop(e, maxIter, parts)
-        if (!converged) warnNotConverged("in-memory", maxIter)
-        clusters
+        val nEdges = e.count()
+        if (nEdges <= driverCcMaxEdges(spark)) driverUnionFind(spark, e)
+        else {
+          val parts = rightSizedParts(spark, nEdges)
+          val (clusters, converged) = connectedComponentsLoop(e, maxIter, parts)
+          if (!converged) warnNotConverged("in-memory", maxIter)
+          clusters
+        }
     }
+
+  /** Contracted-edge threshold below which the in-memory CC finishes on
+    * the driver with union-find instead of the iterative star loop. The
+    * loop's cost at small scale is its FIXED per-round scheduler latency
+    * (each round = several shuffles + a signature job; a converged toy
+    * graph still pays 3-5 rounds ≈ seconds), while a bounded collect +
+    * union-find is one job and microseconds of CPU. 2M contracted edges
+    * ≈ 32 MB of packed longs on the driver — the same order as the
+    * incremental fold's broadcastMaxEndpoints guard. Exact: union-by-min
+    * with path compression assigns every node the component minimum,
+    * the identical label the star loop converges to. Scale-adaptive, not
+    * local-mode-tuned: on a real cluster the threshold bounds driver
+    * memory, and corpus-scale edge sets (> threshold after the narrow
+    * localContract pass) still take the shuffle loop. Override with
+    * spark.graft.cc.driverMaxEdges (0 disables the fast path). */
+  val DefaultDriverCcMaxEdges: Long = 2000000L
+
+  private def driverCcMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.driverMaxEdges")
+      .map(_.toLong).getOrElse(DefaultDriverCcMaxEdges)
+
+  /** Bounded driver-side union-find over an already-contracted edge set
+    * (caller guarantees nEdges <= driverCcMaxEdges — a declared, bounded
+    * collect, the dimension-map discipline). Emits (id, cluster) for
+    * every node appearing in an edge, cluster = component minimum —
+    * bit-identical to starsToClusters after a converged star loop. */
+  private def driverUnionFind(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = e.select(col("a"), col("b")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.foreachKey { n => out += ((n, find(n))) }
+    spark.createDataset(out.toSeq).toDF("id", "cluster")
+  }
 
   /** Loud non-convergence warning (round-4 advice): a loop that exhausts
     * maxIter — or a resumed checkpoint whose on-disk round already exceeds

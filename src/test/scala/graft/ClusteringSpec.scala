@@ -22,11 +22,16 @@ class ClusteringSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def runCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def runCC(edges: Seq[(Long, Long)], forceLoop: Boolean = false): Map[Long, Long] = {
     import spark.implicits._
     val df = edges.toDF("a", "b")
-    Clustering.connectedComponents(spark, df)
+    // forceLoop: disable the driver union-find fast path so the iterative
+    // star-contraction loop keeps its own coverage now that small graphs
+    // default to the fast path
+    if (forceLoop) spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    try Clustering.connectedComponents(spark, df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally if (forceLoop) spark.conf.unset("spark.graft.cc.driverMaxEdges")
   }
 
   test("CC matches union-find on a hand case (chain + triangle + singleton edge)") {
@@ -41,7 +46,7 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got(100L) == 50L && got(50L) == 50L)
   }
 
-  test("property: CC equals union-find on random graphs (seeded)") {
+  test("property: CC equals union-find on random graphs (seeded), in BOTH regimes") {
     val rng = new scala.util.Random(42)
     (0 until 8).foreach { round =>
       val n = 2 + rng.nextInt(40)
@@ -51,8 +56,14 @@ class ClusteringSpec extends AnyFunSuite {
         val b = rng.nextLong(n.toLong + 1)
         if (a != b) Some((a, b)) else None
       }
-      if (edges.nonEmpty)
-        assert(runCC(edges) == ufComponents(edges), s"round $round failed: $edges")
+      if (edges.nonEmpty) {
+        val want = ufComponents(edges)
+        // driver union-find fast path (the default at this edge count)...
+        assert(runCC(edges) == want, s"round $round failed: $edges")
+        // ...and the iterative star-contraction loop must assign identically
+        assert(runCC(edges, forceLoop = true) == want,
+          s"round $round (loop regime) failed: $edges")
+      }
     }
   }
 
@@ -165,20 +176,31 @@ class ClusteringSpec extends AnyFunSuite {
     val buf = new java.io.ByteArrayOutputStream()
     val old = System.err
     System.setErr(new java.io.PrintStream(buf, true))
+    // the driver union-find fast path always converges — force the loop
+    // regime, whose maxIter budget the warning guards
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
     try Clustering.connectedComponents(spark, edges, maxIter = 1).collect()
-    finally System.setErr(old)
+    finally {
+      System.setErr(old)
+      spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    }
     assert(new String(buf.toByteArray, "UTF-8").contains("WITHOUT converging"),
       "expected a non-convergence warning on stderr")
   }
 
-  test("CC is deterministic under different input partitioning") {
+  test("CC is deterministic under different input partitioning (both regimes)") {
     import spark.implicits._
     val edges = (0L until 200L).map(i => (i, (i + 7) % 200)) ++ Seq((500L, 600L))
-    val r1 = Clustering.connectedComponents(spark, edges.toDF("a", "b").repartition(1))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val r2 = Clustering.connectedComponents(spark, edges.toDF("a", "b").repartition(13))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    assert(r1 == r2)
+    def run(parts: Int, forceLoop: Boolean): Seq[(Long, Long)] = {
+      if (forceLoop) spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+      try Clustering.connectedComponents(spark, edges.toDF("a", "b").repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      finally if (forceLoop) spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    }
+    val r1 = run(1, forceLoop = false)
+    assert(r1 == run(13, forceLoop = false))
+    assert(r1 == run(1, forceLoop = true))
+    assert(r1 == run(13, forceLoop = true))
   }
 
   // ---- G7 incremental maintenance -----------------------------------------

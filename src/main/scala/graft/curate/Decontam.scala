@@ -46,12 +46,16 @@ object Decontam {
   }
 
   /** One row per (doc, distinct gram): the relation both operators
-    * consume. */
+    * consume. Per-doc dedup is MAP-SIDE (array_distinct before the
+    * explode) — the former post-explode dropDuplicates("doc_id","gram")
+    * was a full token-volume shuffle for a purely doc-local property
+    * (round-7: one corpus-scale Exchange removed from every consumer;
+    * identical rows, since distinct-within-doc is exactly what the
+    * (doc_id, gram) dedup computed). */
   private[graft] def docGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(tokenNgrams(col(textCol), n)).as("gram"))
-      .dropDuplicates("doc_id", "gram")
+      explode(array_distinct(tokenNgrams(col(textCol), n))).as("gram"))
 
   /** Per-TRAINING-document contamination against an eval document set:
     * (doc_id, n_hit_grams, contaminated) where n_hit_grams counts the
@@ -64,14 +68,18 @@ object Decontam {
       isEval: Column, n: Int = 8): DataFrame = {
     val tagged = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       isEval.as("is_eval"))
-    // is_eval rides the explode (functionally dependent on doc_id, so the
-    // distinct-gram dedup keeps it consistent) — no join back to the docs
+    // per-doc distinct grams MAP-SIDE (the docGrams rule: array_distinct
+    // before the explode — no token-volume dedup shuffle); is_eval rides
+    // the explode (functionally dependent on doc_id)
     val grams = tagged.select(col("doc_id"), col("is_eval"),
-        explode(tokenNgrams(col("text"), n)).as("gram"))
-      .dropDuplicates("doc_id", "gram")
+      explode(array_distinct(tokenNgrams(col("text"), n))).as("gram"))
     val evalGrams = grams.where(col("is_eval")).select("gram").distinct()
+    // left_semi ≡ the former inner join against the DISTINCT eval gram
+    // set (multiplicity 1), minus the join-output materialization; the
+    // aggregated eval side is broadcast by AQE from runtime stats (eval
+    // sets ≪ training corpus — the documented premise)
     val hits = grams.where(!col("is_eval"))
-      .join(evalGrams, Seq("gram"))
+      .join(evalGrams, Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
     tagged.where(!col("is_eval")).select("doc_id")
       .join(hits, Seq("doc_id"), "left")
@@ -222,7 +230,9 @@ object Decontam {
       posexplode(tokenNgrams(col("text"), n)))
       .withColumnRenamed("col", "gram")
     val evalGrams = grams.where(col("is_eval")).select("gram").distinct()
-    val hits = grams.where(!col("is_eval")).join(evalGrams, Seq("gram"))
+    // left_semi ≡ inner against the DISTINCT eval set (decontaminate's
+    // argument); keeps the position rows single-sided
+    val hits = grams.where(!col("is_eval")).join(evalGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits

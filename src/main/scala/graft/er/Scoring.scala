@@ -118,13 +118,18 @@ object Scoring {
         "is_match",
         (col("jw") >= cfg.jwThreshold && col("score") >= cfg.scoreThreshold) ||
           col("jaccard") >= cfg.jaccardOnlyThreshold)
-      // levenshtein is informational (not part of the match rule) and
-      // allocates two int rows per call — computed for match candidates
-      // only; -1 elsewhere (evaluated AFTER is_match so 95%+ of pairs skip
-      // the O(n*m) pass)
+      // levenshtein is informational (not part of the match rule) —
+      // computed for match candidates only; -1 elsewhere (evaluated AFTER
+      // is_match so non-matches skip it). FastLevenshteinExpr, not the
+      // built-in: matched pairs are overwhelmingly identical or
+      // near-identical surfaces, and the built-in's full two-array DP on
+      // them dominated the scaling bench's scored aggregate (equality +
+      // prefix/suffix trim return the identical distances)
       .withColumn(
         "lev",
-        when(col("is_match"), levenshtein(col("ns_a"), col("ns_b"))).otherwise(lit(-1)))
+        when(col("is_match"),
+          graft.functions.FastLevenshteinExpr.fast_levenshtein(col("ns_a"), col("ns_b")))
+          .otherwise(lit(-1)))
 
   /** Score candidate pairs. `pairs` has columns (a, b) of mention ids. */
   def scorePairs(mentions: Dataset[Mention], pairs: DataFrame, cfg: Config = Config()): DataFrame = {

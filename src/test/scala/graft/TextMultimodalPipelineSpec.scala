@@ -141,6 +141,29 @@ class TextMultimodalPipelineSpec extends AnyFunSuite {
     assert(math.abs(f - graft.er.Scoring.jaroWinkler("jörn münch", "jörn munch")) < 1e-12)
   }
 
+  test("fast_levenshtein agrees with Spark's built-in levenshtein everywhere") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(29)
+    val alphabet = "abcdefghij "
+    def check(s1: String, s2: String): Unit = {
+      val fast = graft.functions.FastLevenshteinExpr.distance(
+        UTF8String.fromString(s1), UTF8String.fromString(s2))
+      val ref = UTF8String.fromString(s1).levenshteinDistance(UTF8String.fromString(s2))
+      assert(fast == ref, s"'$s1' vs '$s2': $fast != $ref")
+    }
+    (0 until 3000).foreach { _ =>
+      val s1 = (0 until rng.nextInt(18)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      val s2 = (0 until rng.nextInt(18)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      check(s1, s2)
+      // the match-population shapes: identical, and shared prefix/suffix
+      check(s1, s1)
+      check(s1 + "x" + s2, s1 + "y" + s2)
+    }
+    // non-ASCII falls back to UTF8String.levenshteinDistance itself
+    check("jörn münch", "jörn munch")
+    check("日本語テキスト", "日本語テスト")
+  }
+
   test("jaro_winkler SQL function: codegen path agrees with the plain scorer") {
     graft.functions.JaroWinklerExpr.register(spark)
     val r = spark.sql("SELECT jaro_winkler('john smith', 'john smiht') AS jw").head().getDouble(0)

@@ -177,7 +177,15 @@ object Decontam {
     * gram explode once, not once per state part. `bGrams` must be the
     * checkpointed/persisted `docGrams` of the batch. */
   private def dupNgramStatsIncrementalFrom(idx: DupNgramIndex,
-      bIds: DataFrame, bGrams: DataFrame): DataFrame = {
+      bIds: DataFrame, bGrams: DataFrame): DataFrame =
+    dupNgramStatsIncrementalPieces(idx, bIds, bGrams)._1
+
+  /** (full refreshed stats, CHANGED stats rows): a standing doc's row
+    * changes ONLY when it holds a flipped gram (inc > 0) — the changed
+    * set is therefore batch-scale (batch rows + flip holders), the
+    * relation a touched-range state writer persists per fold (round-7). */
+  private def dupNgramStatsIncrementalPieces(idx: DupNgramIndex,
+      bIds: DataFrame, bGrams: DataFrame): (DataFrame, DataFrame) = {
     val delta = bGrams.groupBy("gram").agg(count(lit(1)).as("dgf"))
     // touched grams' union freq; localCheckpoint: feeds batch stats +
     // the flip detection
@@ -204,7 +212,12 @@ object Decontam {
     val sStats = idx.stats.join(holders, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         (col("n_dup_grams") + coalesce(col("inc"), lit(0L))).as("n_dup_grams"))
-    sStats.unionByName(bAll)
+    // changed standing rows = exactly the flip holders (inner join —
+    // every other standing row is bit-unchanged by monotonicity)
+    val sChanged = idx.stats.join(holders, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_dup_grams") + col("inc")).as("n_dup_grams"))
+    (sStats.unionByName(bAll), sChanged.unionByName(bAll))
   }
 
   /** Span-level decontamination (the GPT-3-appendix removal unit: cut
@@ -249,12 +262,26 @@ object Decontam {
       .select("doc_id", "span_start", "span_end")
   }
 
+  /** [[foldDupNgramIndex]]'s result plus the two BATCH-SCALE relations a
+    * delta state writer persists instead of the corpus-scale rewrites:
+    * `batchGrams` (the grams the fold appends — the grams relation is
+    * append-only) and `changedStats` (batch rows + flip holders — every
+    * other stats row is unchanged by monotonicity). */
+  final case class DupNgramFold(
+      index: DupNgramIndex, batchGrams: DataFrame, changedStats: DataFrame)
+
   /** The refreshed index AFTER folding `batch` — what a streaming sink
     * persists as the next version: grams unioned, frequencies merged
     * from the batch delta (touched grams only change), stats = the
     * incremental fold's output. */
   def foldDupNgramIndex(idx: DupNgramIndex, batch: DataFrame,
-      idCol: String, textCol: String): DupNgramIndex = {
+      idCol: String, textCol: String): DupNgramIndex =
+    foldDupNgramIndexDelta(idx, batch, idCol, textCol).index
+
+  /** The fold with its delta relations exposed (round-7 state-at-rest
+    * shape). */
+  def foldDupNgramIndexDelta(idx: DupNgramIndex, batch: DataFrame,
+      idCol: String, textCol: String): DupNgramFold = {
     // ONE gram explode per fold: the checkpointed relation feeds all
     // three refreshed parts (grams union, freq merge, stats fold)
     val bGrams = docGrams(batch, idCol, textCol, idx.n).localCheckpoint(true)
@@ -263,9 +290,10 @@ object Decontam {
         Seq("gram"), "full_outer")
       .select(col("gram"),
         (coalesce(col("gf"), lit(0L)) + coalesce(col("dgf"), lit(0L))).as("gf"))
-    DupNgramIndex(
-      idx.grams.unionByName(bGrams), freq2,
-      dupNgramStatsIncrementalFrom(idx,
-        batch.select(col(idCol).as("doc_id")), bGrams), idx.n)
+    val (full, changed) = dupNgramStatsIncrementalPieces(idx,
+      batch.select(col(idCol).as("doc_id")), bGrams)
+    DupNgramFold(
+      DupNgramIndex(idx.grams.unionByName(bGrams), freq2, full, idx.n),
+      bGrams, changed)
   }
 }

@@ -52,12 +52,23 @@ object Dedup {
 
   /** Unpersist every signature table registered on THIS thread since the
     * last release. */
-  def releaseSignatures(): Unit = {
+  def releaseSignatures(): Unit = releaseSignaturesSince(0)
+
+  /** Current registration mark of THIS thread's signature queue — pair
+    * with [[releaseSignaturesSince]] to release exactly the frames a
+    * nested library call (e.g. a streaming fold's bootstrap) registered,
+    * leaving any frames the CALLER had pending untouched (round-6
+    * advice: a batch-backfill caller may invoke a fold mid-build of its
+    * own dedup plan on the same thread). */
+  def sigMark(): Int = activeSigs.get().size()
+
+  /** Unpersist the frames registered on THIS thread AFTER `mark` (LIFO
+    * from the tail), keeping the first `mark` registrations pending. */
+  def releaseSignaturesSince(mark: Int): Unit = {
     val q = activeSigs.get()
-    var d = q.poll()
-    while (d != null) {
+    while (q.size() > mark) {
+      val d = q.pollLast()
       try d.unpersist(false) catch { case _: Throwable => () }
-      d = q.poll()
     }
   }
 
@@ -661,9 +672,30 @@ object Dedup {
     val bBanded = bandedSigs(bSigs, nBands, idx.rowsPerBand)
       .localCheckpoint(true)
     val delta = bBanded.groupBy("bucket").agg(count(lit(1)).as("dsz"))
-    val touched = delta.join(idx.bucketSizes, Seq("bucket"), "left")
-      .select(col("bucket"),
-        (coalesce(col("bsz"), lit(0L)) + col("dsz")).as("bsz"))
+    // touched census carries the STANDING size too: it feeds both
+    // capBucketsWith sides AND the crossing guard below, so it is
+    // materialized once (batch-scale rows)
+    val touchedFull = delta.join(idx.bucketSizes, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("bsz"), lit(0L)).as("sbz"), col("dsz"))
+      .select(col("bucket"), col("sbz"), (col("sbz") + col("dsz")).as("bsz"))
+      .localCheckpoint(true)
+    // LOUD guard (round-6 advice): when a batch pushes a bucket that was
+    // under the cap past maxBucket, the fold's union-census sub-bucket
+    // splits diverge from the standing-standing edges frozen in
+    // idx.clusters at bootstrap — exact equality to batch survivors()
+    // is no longer guaranteed for pairs inside that bucket. Detect the
+    // regime and name the remedy instead of silently diverging.
+    if (touchedFull
+        .where(col("sbz") <= idx.maxBucket && col("bsz") > idx.maxBucket)
+        .take(1).nonEmpty)
+      System.err.println(
+        "[graft.dedup.Dedup] WARNING: this batch pushes at least one LSH band " +
+          s"bucket past maxBucket=${idx.maxBucket} (standing size was under the " +
+          "cap) — the incremental fold's sub-bucket splits now diverge from the " +
+          "standing cluster state and exact batch equality is not guaranteed " +
+          "for pairs in the flooded bucket; re-bootstrap the index " +
+          "(buildSurvivorIndex) on the union to restore the exact regime")
+    val touched = touchedFull.select("bucket", "bsz")
     val standingTouched = idx.banded
       .join(broadcast(delta.select("bucket")), Seq("bucket"), "left_semi")
     val probeSide = capBucketsWith(bBanded, touched, idx.maxBucket)

@@ -505,7 +505,34 @@ object Clustering {
       oldClusters: DataFrame,
       newEdges: DataFrame,
       checkpointDir: Option[String] = None,
-      broadcastMaxEndpoints: Long = 5000000L): DataFrame = {
+      broadcastMaxEndpoints: Long = 5000000L): DataFrame =
+    incrementalClustersWithDelta(spark, oldClusters, newEdges,
+      checkpointDir, broadcastMaxEndpoints).assignment
+
+  /** [[incrementalClusters]]' result together with its CHANGED-ROW set —
+    * what a touched-range state writer persists per fold (round-7: the
+    * streaming sink's per-fold write volume must track the batch, not
+    * the corpus-scale assignment):
+    *   - `assignment`: the full refreshed (id, cluster) table (lazy —
+    *     only pay for it if you materialize it);
+    *   - `changed`: exactly the rows whose (id, cluster) differs from
+    *     `oldClusters` plus the brand-new ids — in the broadcast regime
+    *     an old row changes iff its cluster label is relabeled by the
+    *     contracted CC (merged != label), so `changed` is one narrow
+    *     assignment probe of a broadcast relabel map plus the batch-new
+    *     ids (batch-scale by the incremental premise);
+    *   - `changedIsFull`: true in the batch-CC fallback regime (a
+    *     corpus-sized batch), where deriving a delta would cost a full
+    *     compare — the caller should rewrite fully there anyway. */
+  final case class IncrementalCc(
+      assignment: DataFrame, changed: DataFrame, changedIsFull: Boolean)
+
+  def incrementalClustersWithDelta(
+      spark: SparkSession,
+      oldClusters: DataFrame,
+      newEdges: DataFrame,
+      checkpointDir: Option[String] = None,
+      broadcastMaxEndpoints: Long = 5000000L): IncrementalCc = {
     val oc = oldClusters.select(col("id").cast("long"), col("cluster").cast("long"))
     val e = newEdges
       .select(col("a").cast("long"), col("b").cast("long"))
@@ -521,8 +548,10 @@ object Clustering {
     // the guard's count is one batch-scale aggregation — cheap next to
     // the fold itself, and the price of never OOMing an executor on a
     // mis-sized batch
-    if (endpoints.count() > broadcastMaxEndpoints)
-      return incrementalViaBatchCc(spark, oc, e, endpoints, checkpointDir)
+    if (endpoints.count() > broadcastMaxEndpoints) {
+      val full = incrementalViaBatchCc(spark, oc, e, endpoints, checkpointDir)
+      return IncrementalCc(full, full, changedIsFull = true)
+    }
     // touched old rows: ONE narrow scan of the node-scale table probing
     // the broadcast batch ids; eagerly truncated (it is batch-scale) so
     // the three consumers below don't re-scan the assignment table
@@ -555,7 +584,17 @@ object Clustering {
       .join(broadcast(touched.select("id")), Seq("id"), "left_anti")
       .join(broadcast(cc), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-    oldPart.unionAll(newPart)
+    // rows that differ from oldClusters: old ids whose LABEL the
+    // contracted CC relabeled (merged != label — a second narrow probe
+    // of the assignment against the same broadcast map), plus every
+    // brand-new id
+    val relabeled = oc
+      .join(broadcast(cc.where(col("id") =!= col("cluster"))
+        .select(col("id").as("cluster"), col("cluster").as("merged"))),
+        Seq("cluster"))
+      .select(col("id"), col("merged").as("cluster"))
+    IncrementalCc(oldPart.unionAll(newPart), relabeled.unionAll(newPart),
+      changedIsFull = false)
   }
 
   /** The guarded fallback of [[incrementalClusters]] for batches too big

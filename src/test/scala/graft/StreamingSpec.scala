@@ -240,6 +240,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(vDirs.length <= 2, s"stale versions not pruned: ${vDirs.mkString(",")}")
   }
 
+  test("round-7 delta state: a cluster fold rewrites only the touched ranges") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("cc_delta_state").toString
+    spark.conf.set("spark.graft.streaming.stateRanges", "8")
+    try {
+      // bootstrap: 500 two-id clusters over ids 0..999 — all 8 ranges land
+      val wave1 = (0L until 1000L by 2).map(k => (k, k + 1))
+      Streaming.foldClusterBatch(wave1.toDF("a", "b"), stateDir, 0L)
+      // fold: one edge merges {0,1} and {2,3} — changed rows are ids 2,3
+      Streaming.foldClusterBatch(Seq((0L, 2L)).toDF("a", "b"), stateDir, 1L)
+      val got = Streaming.currentClusters(spark, stateDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val union = (wave1 :+ ((0L, 2L))).toDF("a", "b")
+      val ids = union.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array($"a", $"b")).as("id")).distinct()
+      val want = graft.er.Clustering.assign(spark, ids, union)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want && got(3L) == 0L)
+      // write-volume evidence: the fold's version dir holds only the
+      // ranges of the changed ids (2 and 3), not all 8
+      def rangeDirs(v: String): Set[String] = {
+        val d = new java.io.File(new java.io.File(stateDir, v), "assign")
+        d.listFiles().filter(_.getName.startsWith("_r=")).map(_.getName).toSet
+      }
+      val boot = rangeDirs("v_000000000000")
+      val fold = rangeDirs("v_000000000001")
+      assert(boot.size > 2, s"bootstrap should land many ranges: $boot")
+      assert(fold.size <= 2, s"fold rewrote untouched ranges: $fold")
+    } finally spark.conf.unset("spark.graft.streaming.stateRanges")
+  }
+
+  test("round-7 delta state: dup-ngram grams land as per-fold deltas, chain compacts, stats stay exact") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("dng_delta_state").toString
+    spark.conf.set("spark.graft.streaming.stateRanges", "8")
+    try {
+      // 10 folds: exceeds the delta chain's compactEvery=8 budget, so the
+      // chain resolution AND a compaction both get exercised
+      def wave(w: Int): Seq[(Long, String)] =
+        (0 until 6).map(i =>
+          (w * 100L + i, (0 until 10).map(t => s"t${(w * 3 + i + t) % 9}").mkString(" ")))
+      (0 until 10).foreach { w =>
+        Streaming.foldDupNgramBatch(wave(w).toDF("doc_id", "text"), 8, stateDir, w.toLong)
+      }
+      val got = Streaming.currentDupNgrams(spark, stateDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val all = (0 until 10).flatMap(wave).toDF("doc_id", "text")
+      val want = graft.curate.Decontam.dupNgramStats(all, "doc_id", "text", n = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, "delta-resolved stats diverge from batch dupNgramStats")
+      // write-volume evidence: a non-compaction fold's grams dir holds
+      // ONLY that batch's gram rows (batch-scale), not the whole relation
+      val latest = scala.io.Source.fromFile(new java.io.File(stateDir, "_LATEST")).mkString.trim.toLong
+      val vDir = f"v_$latest%012d"
+      val gramsRows = spark.read.parquet(s"$stateDir/$vDir/grams").count()
+      val batchGrams = graft.curate.Decontam
+        .dupNgramStats(wave(9).toDF("doc_id", "text"), "doc_id", "text", n = 8)
+        .agg(org.apache.spark.sql.functions.sum("n_grams")).head().getLong(0)
+      assert(gramsRows == batchGrams,
+        s"last fold's grams part has $gramsRows rows, batch has $batchGrams — full rewrite came back")
+    } finally spark.conf.unset("spark.graft.streaming.stateRanges")
+  }
+
   test("versioned state recovers from a missing _LATEST pointer (crash between delete and rename)") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("cc_state_crash").toString

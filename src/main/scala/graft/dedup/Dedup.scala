@@ -776,10 +776,36 @@ object Dedup {
       toks: DataFrame,
       contPrefix: DataFrame,
       contFull: DataFrame,
-      victims: DataFrame) {
+      victims: DataFrame,
+      /** Posting keys whose AT-REST inverted-index list was trimmed to
+        * `maxPosting` entries (lang, source, tok, cnt — the census kept
+        * at rest; EMPTY in the exact regime). See [[DefaultMaxPosting]]. */
+      hotPostings: DataFrame = null,
+      maxPosting: Int = DefaultMaxPosting,
+      /** Number of trimmed posting keys, counted once at bootstrap: 0
+        * means the cap never bound and every fold is exact — folds skip
+        * the dropped-candidate accounting job entirely. */
+      hotPostingCount: Long = 0L) {
     def frames: Seq[DataFrame] =
-      core.frames ++ Seq(tokFreq, toks, contPrefix, contFull, victims)
+      core.frames ++ Seq(tokFreq, toks, contPrefix, contFull, victims) ++
+        Option(hotPostings).toSeq
   }
+
+  /** Cap on the containment inverted index's posting list per
+    * (lang, source, token) AT REST — the round-6 verdict's fix for the
+    * one unbounded read in the containment fold: a hot token (new
+    * boilerplate entering the corpus) otherwise yields a posting read
+    * that grows with the corpus, since containment has no size-ratio
+    * bound to trim the container side with. Entries kept are the
+    * maxPosting hash-smallest container docs (splitmix64 order — the
+    * SourceCap discipline, deterministic and unbiased); the trimmed
+    * keys' census stays at rest and every bootstrap/fold in the capped
+    * regime LOGS its dropped-candidate count (no silent truncation).
+    * Above-cap trimming makes containment recall on those keys a
+    * DECLARED approximation (the DefaultMaxBucket precedent); the cap is
+    * far above the catalog's posting sizes, so the oracle gate runs in
+    * the exact regime. */
+  val DefaultMaxPosting: Int = 4096
 
   /** Bootstrap the containment-aware standing index. `df` must carry
     * (idCol, textCol, lang, source) — containment blocks within
@@ -803,7 +829,8 @@ object Dedup {
       minJaccard: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket,
       cache: DataFrame => DataFrame = identity,
-      reuseCore: Option[SurvivorIndex] = None): FullSurvivorIndex = {
+      reuseCore: Option[SurvivorIndex] = None,
+      maxPosting: Int = DefaultMaxPosting): FullSurvivorIndex = {
     import graft.queries.Queries
     val d = df.select(col(idCol).cast("long").as("doc_id"),
       col("lang"), col("source"), col(textCol).as("text"))
@@ -844,10 +871,44 @@ object Dedup {
           rowsPerBand, minJaccard, maxBucket, cache,
           extraEdges = Some(contEdges))
     }
+    // posting-list cap at rest (round-6 verdict): census the inverted
+    // index, trim above-cap keys to the maxPosting hash-smallest
+    // containers, keep the trimmed-key census. When no key exceeds the
+    // cap (the catalog regime) the stored relation — and every fold — is
+    // bit-identical to the uncapped index and the window never runs.
+    val contFullRaw = Queries.contFullExplode(toks)
+    val hot = cache(
+      contFullRaw.groupBy("lang", "source", "tok")
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > maxPosting))
+    val hotN = hot.count()
+    val contFull =
+      if (hotN == 0L) cache(contFullRaw)
+      else {
+        val dropped = hot.agg(sum(col("cnt") - lit(maxPosting.toLong))).head().getLong(0)
+        System.err.println(
+          s"[graft.dedup.Dedup] containment index: $hotN posting key(s) exceed " +
+            s"maxPosting=$maxPosting — trimmed to the hash-smallest entries " +
+            s"($dropped container postings dropped at rest; containment recall " +
+            "on those keys is a DECLARED approximation — raise maxPosting for " +
+            "the exact regime)")
+        import org.apache.spark.sql.expressions.Window
+        val capKeyUdf = udf(graft.curate.SourceCap.capKey _)
+        val w = Window.partitionBy("lang", "source", "tok")
+          .orderBy(col("pk"), col("doc_b"))
+        cache(contFullRaw
+          .withColumn("pk", capKeyUdf(col("doc_b")))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= maxPosting)
+          .drop("pk", "rn"))
+      }
     FullSurvivorIndex(core, tokFreq, toks,
       cache(Queries.contPrefixExplode(toks)),
-      cache(Queries.contFullExplode(toks)),
-      cache(cp.select(col("doc_a").as("id")).distinct()))
+      contFull,
+      cache(cp.select(col("doc_a").as("id")).distinct()),
+      hotPostings = hot,
+      maxPosting = maxPosting,
+      hotPostingCount = hotN)
   }
 
   /** New containment pairs a batch introduces against the standing index
@@ -870,6 +931,21 @@ object Dedup {
     val bToks = Queries.sortedToksFrozen(b, fidx.tokFreq).localCheckpoint(true)
     val bPref = Queries.contPrefixExplode(bToks)
     val bFull = Queries.contFullExplode(bToks)
+    // capped-regime accounting (no silent truncation): when the standing
+    // inverted index trimmed any posting list, count the container
+    // candidates this batch's prefix tokens can no longer reach and log
+    // them. Skipped entirely in the exact regime (hotPostingCount == 0 —
+    // the catalog gate's regime), so the exact path pays no extra job.
+    if (fidx.hotPostingCount > 0L) {
+      val dropped = bPref.select("lang", "source", "tok").distinct()
+        .join(fidx.hotPostings, Seq("lang", "source", "tok"))
+        .agg(coalesce(sum(col("cnt") - lit(fidx.maxPosting.toLong)), lit(0L)))
+        .head().getLong(0)
+      if (dropped > 0L) System.err.println(
+        s"[graft.dedup.Dedup] containment fold: batch prefix tokens hit trimmed " +
+          s"posting keys — $dropped standing container candidate(s) were not " +
+          s"probed (maxPosting=${fidx.maxPosting} cap; declared approximation)")
+    }
     // direction 1: contained = batch doc, container = union
     val standingFull = fidx.contFull.join(
       broadcast(bPref.select("lang", "source", "tok").distinct()),

@@ -213,6 +213,45 @@ object Ann extends Serializable {
     IvfIndex(idx.assigned.unionByName(assignedB), centB)
   }
 
+  /** Cell-population skew of an [[IvfIndex]] — the DRIFT MONITOR for the
+    * frozen-centroid append discipline (round-6 verdict item 5): frozen
+    * centroids keep folds cheap and exact, but recall degrades when the
+    * data DISTRIBUTION drifts away from the training sample, and that
+    * drift is visible as growing cell-population skew. Fields:
+    *   - maxCell / meanCellPpm: the largest cell vs the mean (ppm so the
+    *     ratio is integer-exact);
+    *   - topDecileFracPpm: fraction of all vectors living in the largest
+    *     10% of cells (1M ppm = everything in the hot decile; a uniform
+    *     index sits near 100_000 ppm).
+    * RE-INDEX THRESHOLD (documented operating rule): retrain when
+    * maxCell > 10x the mean or topDecileFracPpm > 350_000 — at that
+    * skew, nProbe cells no longer bound the probed fraction and recall
+    * falls off the sweep's operating point. Cost: one aggregation over
+    * the assigned relation + a bounded collect of <= nLists cell sizes
+    * (nLists <= 65536 by [[autoNLists]]'s clamp). */
+  final case class IvfDrift(
+      nCells: Long, nVecs: Long, maxCell: Long, meanCellPpm: Long,
+      topDecileFracPpm: Long) {
+    def reindexSuggested: Boolean =
+      (meanCellPpm > 0 && maxCell * 1000000L > 10L * meanCellPpm) ||
+        topDecileFracPpm > 350000L
+  }
+
+  def ivfDriftStats(idx: IvfIndex): IvfDrift = {
+    val sizes = idx.assigned.groupBy("cell")
+      .agg(count(lit(1)).as("c"))
+      .select(col("c")).collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    val nCells = sizes.length.toLong
+    val nVecs = sizes.sum
+    if (nCells == 0L) return IvfDrift(0L, 0L, 0L, 0L, 0L)
+    val topDecile = math.max(1, math.ceil(nCells / 10.0).toInt)
+    IvfDrift(
+      nCells, nVecs,
+      sizes.head,
+      nVecs * 1000000L / nCells,
+      sizes.take(topDecile).sum * 1000000L / math.max(1L, nVecs))
+  }
+
   /** Top-k search over an [[IvfIndex]] (same probe/verify machinery as
     * the one-shot [[ivfTopK]]). */
   def ivfSearchIndex(

@@ -854,8 +854,22 @@ object Streaming {
         commit(graft.sim.Ann.buildIvfIndex(spark, batch, idCol, vecCol))
         graft.dedup.Dedup.releaseSignaturesSince(mark)
       case Some(v) =>
-        commit(graft.sim.Ann.ivfAppend(spark, readIvfIndex(spark, vs, v),
-          batch, idCol, vecCol))
+        val next = graft.sim.Ann.ivfAppend(spark, readIvfIndex(spark, vs, v),
+          batch, idCol, vecCol)
+        commit(next)
+        // drift monitor (round-6 verdict item 5): cell-population skew
+        // per fold, against the committed (just-written) relation — one
+        // bounded aggregation; the re-index threshold is documented on
+        // Ann.IvfDrift
+        val drift = graft.sim.Ann.ivfDriftStats(
+          graft.sim.Ann.IvfIndex(vs.readPart(batchId, "assigned"), next.centroids))
+        System.err.println(
+          s"[graft.streaming] ivf state $stateDir v=$batchId drift: " +
+            s"cells=${drift.nCells} vecs=${drift.nVecs} maxCell=${drift.maxCell} " +
+            s"meanCellPpm=${drift.meanCellPpm} topDecileFracPpm=${drift.topDecileFracPpm}" +
+            (if (drift.reindexSuggested)
+               " REINDEX-SUGGESTED (skew past the documented threshold)"
+             else ""))
     }
   }
 

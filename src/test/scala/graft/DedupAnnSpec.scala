@@ -366,6 +366,56 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("containment posting cap: hot token trimmed at rest with a loud census, rare-token pairs still exact") {
+    // round-7 (round-6 verdict item 2): a hot token's container posting
+    // list is the one unbounded read in the containment fold — cap it at
+    // rest with a census and a logged drop count, keeping rare-token
+    // containment (the prefix filter's working regime) exact.
+    val hotDocs = (0 until 10).map { i =>
+      (8000L + i, "en", "web",
+        (Seq("hot") ++ (0 until 12).map(k => s"u${i}_$k")).mkString(" "))
+    }
+    val container = (9000L, "en", "web", (0 until 40).map("r" + _).mkString(" "))
+    val standing = (hotDocs :+ container).toDF("doc_id", "lang", "source", "text")
+    val victim = Seq((9002L, "en", "web", (0 until 10).map("r" + _).mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+
+    // capped build: the hot posting (10 containers for token "hot")
+    // exceeds maxPosting=3 and is trimmed, loudly
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    val fidx =
+      try Dedup.buildFullSurvivorIndex(standing, "doc_id", "text", maxPosting = 3)
+      finally System.setErr(oldErr)
+    assert(fidx.hotPostingCount > 0, "hot posting key not detected")
+    assert(new String(errBuf.toByteArray, "UTF-8").contains("trimmed to the hash-smallest"),
+      "bootstrap did not log the trimmed census")
+    val postingSizes = fidx.contFull.groupBy("lang", "source", "tok")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .agg(org.apache.spark.sql.functions.max("c")).head().getLong(0)
+    assert(postingSizes <= 3, s"posting list not capped at rest: max=$postingSizes")
+
+    // the rare-token containment pair is still found through the capped
+    // index (its postings are under the cap), and the fold emits one
+    // decision row per doc
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val got = table(Dedup.survivorsFullIncremental(fidx, victim, "doc_id", "text"))
+    assert(got.size === 12, s"one row per doc expected, got ${got.size}")
+    assert(got(9002L) === ((9000L, "contained")), s"rare-token victim: ${got(9002L)}")
+
+    // default cap: exact regime (no trimming), fold equals batch fused
+    // survivors over the union
+    val fidxD = Dedup.buildFullSurvivorIndex(standing, "doc_id", "text")
+    assert(fidxD.hotPostingCount === 0L)
+    val all = standing.unionByName(victim)
+    val want = table(Dedup.survivors(all, "doc_id", "text",
+      containmentPairs = Some(graft.queries.Queries.containmentPairs(all))))
+    assert(table(Dedup.survivorsFullIncremental(fidxD, victim, "doc_id", "text")) === want)
+  }
+
   test("curate_pipeline: staged verdicts compose the three gated stages consistently") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.queries.TrainingDataQueries.curatePipeline(spark, dir)

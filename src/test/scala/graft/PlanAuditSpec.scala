@@ -366,6 +366,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q8 should read only text: $readSchema")
   }
 
+  test("fused pipelines: stage-1 gopher checkpoint reused, no corpus-scale scan repeated") {
+    // round-7 (round-6 verdict item 7): pin the 65 s -> 6 s lesson
+    // structurally. The gopher stage's repetition counters (the repCounts
+    // UDF over text — the most expensive per-row scan in the engine) are
+    // localCheckpointed once per pipeline; the FINAL assembled plan must
+    // consume the checkpoint (Scan ExistingRDD), never re-run the UDF,
+    // and the raw documents parquet may appear at most twice (the id
+    // spine of the verdict join + the source-cap stage's semi-join scan).
+    Seq(
+      "curate_pipeline" -> graft.queries.TrainingDataQueries.curatePipeline(spark, dir),
+      "curate_pipeline_full" -> graft.queries.TrainingDataQueries.curatePipelineFull(spark, dir)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("UDF(text"),
+        s"$name: the gopher/repetition UDF is re-evaluated in the final plan " +
+          s"(stage-1 checkpoint not reused):\n${p.take(2000)}")
+      // the raw TEXT column must never be re-read by the assembled plan —
+      // every text-consuming stage (gopher folds, shingling, containment)
+      // is behind an eager checkpoint; the surviving parquet scans are
+      // narrow id/source spines (verdict join + the source-cap stage)
+      val textScans = "ReadSchema:[^\n]*text".r.findAllIn(p).size
+      assert(textScans == 0,
+        s"$name: $textScans text-reading documents scan(s) in the final plan — " +
+          "a corpus-scale text scan was reintroduced")
+      val parquetScans = "Scan parquet".r.findAllIn(p).size
+      assert(parquetScans <= 3,
+        s"$name: documents parquet scanned $parquetScans times (> 3)")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name: no checkpointed stage output in the plan")
+    }
+    graft.dedup.Dedup.releaseSignatures()
+  }
+
   test("incremental CC never wide-shuffles the node-scale assignment (all joins broadcast)") {
     import spark.implicits._
     // standing assignment with min-label invariant: pairs (2k, 2k+1) -> 2k

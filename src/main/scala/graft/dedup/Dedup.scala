@@ -514,10 +514,17 @@ object Dedup {
       nHashes: Int,
       rowsPerBand: Int,
       minJaccard: Double,
-      maxBucket: Int) {
+      maxBucket: Int,
+      /** The STANDING decision table (id, survivor_id, tier) — what the
+        * previous fold (or the bootstrap) already answered. Carried so a
+        * fold can emit only the CHANGED rows and pass every other row
+        * through untouched (round-6 verdict item 3: fold output volume
+        * must track the batch, not re-derive the corpus-scale table). */
+      decisions: DataFrame = null) {
     /** Every frame a caller should persist/unpersist as a unit. */
     def frames: Seq[DataFrame] =
-      Seq(hashed, sigs, banded, bucketSizes, groups, clusters)
+      Seq(hashed, sigs, banded, bucketSizes, groups, clusters) ++
+        Option(decisions).toSeq
   }
 
   /** Build the standing index from a document table (the one-time batch
@@ -564,7 +571,36 @@ object Dedup {
     val clusters = cache(graft.er.Clustering.connectedComponents(
       spark, extraEdges.foldLeft(exactEdges.unionByName(nearEdges))(_ unionByName _)))
     SurvivorIndex(hashed, sigs, banded, bucketSizes, groups, clusters,
-      shingleK, nHashes, rowsPerBand, minJaccard, maxBucket)
+      shingleK, nHashes, rowsPerBand, minJaccard, maxBucket,
+      decisions = cache(assembleDecisions(hashed, groups, clusters, victims = None)))
+  }
+
+  /** The (id, survivor_id, tier) assembly over a standing state — the
+    * survivors() tail factored out so the bootstrap can seed
+    * [[SurvivorIndex.decisions]] with exactly the rules every fold
+    * applies (tier precedence keep > exact > contained > near). */
+  private def assembleDecisions(
+      hashed: DataFrame,
+      groups: DataFrame,
+      clusters: DataFrame,
+      victims: Option[DataFrame]): DataFrame = {
+    val base = hashed.join(groups, Seq("content_hash"))
+      .select(col("id"), (col("gsz") > 1).as("has_exact"))
+      .join(clusters, Seq("id"), "left")
+    val withV = victims.foldLeft(base)((d, v) =>
+      d.join(v.withColumn("is_contained", lit(true)), Seq("id"), "left"))
+    val contained =
+      if (victims.isDefined) coalesce(col("is_contained"), lit(false))
+      else lit(false)
+    withV
+      .withColumn("survivor_id", coalesce(col("cluster"), col("id")))
+      .withColumn(
+        "tier",
+        when(col("survivor_id") === col("id"), lit("keep"))
+          .when(col("has_exact"), lit("exact"))
+          .when(contained, lit("contained"))
+          .otherwise(lit("near")))
+      .select(col("id"), col("survivor_id"), col("tier"))
   }
 
   /** Incremental survivors fold — the training-data refresh twin of
@@ -598,12 +634,34 @@ object Dedup {
       idx: SurvivorIndex,
       batch: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    survivorsIncrementalDelta(idx, batch, idCol, textCol).full
+
+  /** A fold's result as (changed rows, full view) — round-6 verdict item
+    * 3: the decision table is node-scale but only batch-scale pieces of
+    * it can change per fold, so the fold emits exactly those CHANGED
+    * rows and the full table is the standing decisions with the changed
+    * ids passed over (anti-join + union — "touched rows + unchanged
+    * passthrough"). `changed` covers precisely the ids whose row CAN
+    * differ from the standing table: the batch's own ids, standing
+    * members of content-hash groups the batch touched (has_exact can
+    * flip, group-min relabels), standing ids whose cluster label merged
+    * (survivor_id changes), and new containment victims (tier flips to
+    * "contained"). Every other row is provably bit-unchanged: its union
+    * group equals its standing group, its label was not relabeled, and
+    * victimhood is monotone. */
+  final case class SurvivorDelta(changed: DataFrame, full: DataFrame)
+
+  def survivorsIncrementalDelta(
+      idx: SurvivorIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): SurvivorDelta = {
     val c = incrCore(idx, batch, idCol, textCol)
     val newEdges = c.newEdges.localCheckpoint(true)
-    val clusters2 = graft.er.Clustering.incrementalClusters(
+    val ccd = graft.er.Clustering.incrementalClustersWithDelta(
       batch.sparkSession, idx.clusters, newEdges)
-    incrAssemble(idx, c, clusters2, victims = None)
+    incrAssembleDelta(idx, c, ccd, unionVictims = None, newVictims = None)
   }
 
   /** The batch-scale pieces shared by [[survivorsIncremental]] and
@@ -902,10 +960,18 @@ object Dedup {
           .where(col("rn") <= maxPosting)
           .drop("pk", "rn"))
       }
-    FullSurvivorIndex(core, tokFreq, toks,
+    val victimsFrame = cache(cp.select(col("doc_a").as("id")).distinct())
+    // the FULL index's standing decisions are CONTAINMENT-AWARE (victims
+    // flagged, clusters over all three edge tiers) — they must not share
+    // the plain core's decision table (two cluster states, two decision
+    // tables; the reuseCore shape shares only the at-rest LSH frames)
+    val coreWithDecisions = core.copy(decisions =
+      cache(assembleDecisions(core.hashed, core.groups, core.clusters,
+        victims = Some(victimsFrame))))
+    FullSurvivorIndex(coreWithDecisions, tokFreq, toks,
       cache(Queries.contPrefixExplode(toks)),
       contFull,
-      cache(cp.select(col("doc_a").as("id")).distinct()),
+      victimsFrame,
       hotPostings = hot,
       maxPosting = maxPosting,
       hotPostingCount = hotN)
@@ -988,7 +1054,16 @@ object Dedup {
       fidx: FullSurvivorIndex,
       batch: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    survivorsFullIncrementalDelta(fidx, batch, idCol, textCol).full
+
+  /** The containment-aware fold with its changed-row set exposed (see
+    * [[SurvivorDelta]]). */
+  def survivorsFullIncrementalDelta(
+      fidx: FullSurvivorIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): SurvivorDelta = {
     val idx = fidx.core
     val c = incrCore(idx, batch, idCol, textCol)
     // localCheckpoint: the new pair table feeds edges + victims (the
@@ -999,12 +1074,74 @@ object Dedup {
     val newEdges = c.newEdges
       .unionByName(newCont.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .localCheckpoint(true)
-    val clusters2 = graft.er.Clustering.incrementalClusters(
+    val ccd = graft.er.Clustering.incrementalClustersWithDelta(
       batch.sparkSession, idx.clusters, newEdges)
-    val victims = fidx.victims
-      .unionByName(newCont.select(col("doc_a").as("id")))
+    val newVictims = newCont.select(col("doc_a").as("id")).distinct()
+    val victims = fidx.victims.unionByName(newVictims).distinct()
+    incrAssembleDelta(idx, c, ccd,
+      unionVictims = Some(victims), newVictims = Some(newVictims))
+  }
+
+  /** The delta-emitting assembly behind both folds. Falls back to the
+    * legacy full re-derivation when the index carries no standing
+    * decision table or the CC fold hit the fallback (corpus-sized batch)
+    * regime — there `changed == full`. */
+  private def incrAssembleDelta(
+      idx: SurvivorIndex,
+      c: IncrCore,
+      ccd: graft.er.Clustering.IncrementalCc,
+      unionVictims: Option[DataFrame],
+      newVictims: Option[DataFrame]): SurvivorDelta = {
+    if (idx.decisions == null || ccd.changedIsFull) {
+      val f = incrAssemble(idx, c, ccd.assignment, victims = unionVictims)
+      return SurvivorDelta(f, f)
+    }
+    // ids whose decision row can differ from the standing table
+    val touchedHashes = c.bHashed.select("content_hash").distinct()
+    val groupIds = idx.hashed
+      .join(broadcast(touchedHashes), Seq("content_hash"), "left_semi")
+      .select("id")
+    val changedIds = newVictims
+      .foldLeft(c.bHashed.select("id")
+        .unionByName(groupIds)
+        .unionByName(ccd.changed.select("id")))(_ unionByName _.select("id"))
       .distinct()
-    incrAssemble(idx, c, clusters2, victims = Some(victims))
+      .localCheckpoint(true)
+    // cluster labels for the changed ids: relabeled/new ids carry their
+    // fold label; the rest keep their standing label (narrow broadcast
+    // probes of the node-scale tables — the incrementalClusters shape)
+    val fromCc = ccd.changed
+    val standingAssign = idx.clusters
+      .join(broadcast(changedIds), Seq("id"), "left_semi")
+      .join(broadcast(fromCc.select("id")), Seq("id"), "left_anti")
+    val assignForChanged = fromCc.unionByName(standingAssign)
+    // tier assembly restricted to the changed ids (the survivors() rules)
+    val restricted = idx.hashed.unionByName(c.bHashed)
+      .join(broadcast(changedIds), Seq("id"), "left_semi")
+    val base = restricted
+      .join(c.merged.select(col("content_hash"), col("gsz")), Seq("content_hash"))
+      .select(col("id"), (col("gsz") > 1).as("has_exact"))
+      .join(assignForChanged, Seq("id"), "left")
+    val withV = unionVictims.foldLeft(base)((d, v) =>
+      d.join(v.join(broadcast(changedIds), Seq("id"), "left_semi")
+        .withColumn("is_contained", lit(true)), Seq("id"), "left"))
+    val contained =
+      if (unionVictims.isDefined) coalesce(col("is_contained"), lit(false))
+      else lit(false)
+    val changed = withV
+      .withColumn("survivor_id", coalesce(col("cluster"), col("id")))
+      .withColumn(
+        "tier",
+        when(col("survivor_id") === col("id"), lit("keep"))
+          .when(col("has_exact"), lit("exact"))
+          .when(contained, lit("contained"))
+          .otherwise(lit("near")))
+      .select(col("id"), col("survivor_id"), col("tier"))
+    // full view = unchanged standing rows passed through + the changed rows
+    val full = idx.decisions
+      .join(broadcast(changedIds), Seq("id"), "left_anti")
+      .unionByName(changed)
+    SurvivorDelta(changed, full)
   }
 
   // ---------- embedding cosine ------------------------------------------------

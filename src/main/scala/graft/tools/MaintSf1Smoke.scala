@@ -75,6 +75,16 @@ object MaintSf1Smoke {
     }
     println(f"[maintsf1] dd_survivors_incr fold (min-of-2): $bestFold%.1f s, " +
       f"peak storage $storageMb%.0f MB")
+    // round-7 (verdict item 3): the fold's EMITTED delta tracks the
+    // batch — changed rows vs the full passthrough view
+    locally {
+      val delta = Dedup.survivorsIncrementalDelta(idx, batch, "doc_id", "text")
+      val nChanged = delta.changed.count()
+      val nFull = delta.full.count()
+      Dedup.releaseSignatures()
+      println(f"[maintsf1] dd fold output: $nChanged%d changed rows of $nFull%d total " +
+        f"(${100.0 * nChanged / nFull}%.1f%% — touched rows + unchanged passthrough)")
+    }
     idx.frames.foreach(_.unpersist(true))
 
     // ---- part 2: er_clusters_incr at 10x standing ----

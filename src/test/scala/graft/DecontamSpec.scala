@@ -73,6 +73,37 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(5L) === ((0L, 0L)))
   }
 
+  test("dupNgramStats preHash mode is bit-identical to the string-keyed path") {
+    // round-7 (round-6 verdict item 8): the opt-in xxhash64-keyed
+    // frequency shuffle with string verification on collision candidates
+    // must reproduce the exact string-keyed answer (GramHashProbe holds
+    // the shuffle-bytes evidence; this pins the equality on a fixture
+    // plus a randomized corpus)
+    val fixture = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "x0 a b c d e f g h"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8"),
+      (4L, "r r r r r r r r r r r r r r r r"),
+      (5L, "a b"))
+      .toDF("doc_id", "text")
+    val rng = new scala.util.Random(77)
+    val random = (0 until 300).map { i =>
+      val key = if (i % 10 == 0) i + 1 else i // ~10% pair-duplicated
+      val words = {
+        val r2 = new scala.util.Random(key)
+        (0 until 12).map(_ => "w" + r2.nextInt(400))
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val _ = rng
+    Seq(fixture, random).foreach { df =>
+      def t(preHash: Boolean) =
+        Decontam.dupNgramStats(df, "doc_id", "text", n = 8, preHash = preHash)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(t(true) === t(false))
+    }
+  }
+
   test("incremental dup-ngram fold equals batch stats over the union (standing flip included)") {
     // standing: doc 1 holds a UNIQUE gram the batch will duplicate
     // (the flip path — only the gram-partitioned holders probe finds

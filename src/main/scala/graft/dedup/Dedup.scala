@@ -730,22 +730,29 @@ object Dedup {
     val bBanded = bandedSigs(bSigs, nBands, idx.rowsPerBand)
       .localCheckpoint(true)
     val delta = bBanded.groupBy("bucket").agg(count(lit(1)).as("dsz"))
-    // touched census carries the STANDING size too: it feeds both
-    // capBucketsWith sides AND the crossing guard below, so it is
-    // materialized once (batch-scale rows)
     val touchedFull = delta.join(idx.bucketSizes, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("bsz"), lit(0L)).as("sbz"), col("dsz"))
       .select(col("bucket"), col("sbz"), (col("sbz") + col("dsz")).as("bsz"))
-      .localCheckpoint(true)
+    // Only the OVERSIZED touched buckets matter downstream — both
+    // capBucketsWith sides broadcast exactly the above-cap rows, and the
+    // crossing guard below reads the same rows. Collect them ONCE (the
+    // skew tail of the BATCH's touched buckets — batch-scale bounded,
+    // the same magnitude as the touched-bucket broadcast this fold
+    // already ships) and serve the guard plus both cap joins from a
+    // local relation: one job instead of a checkpoint + a guard action +
+    // two broadcast evaluations of the census plan.
+    val spark2 = batch.sparkSession
+    import spark2.implicits._
+    val hotRows = touchedFull.where(col("bsz") > idx.maxBucket)
+      .select(col("bucket"), col("sbz"), col("bsz"))
+      .collect()
     // LOUD guard (round-6 advice): when a batch pushes a bucket that was
     // under the cap past maxBucket, the fold's union-census sub-bucket
     // splits diverge from the standing-standing edges frozen in
     // idx.clusters at bootstrap — exact equality to batch survivors()
     // is no longer guaranteed for pairs inside that bucket. Detect the
     // regime and name the remedy instead of silently diverging.
-    if (touchedFull
-        .where(col("sbz") <= idx.maxBucket && col("bsz") > idx.maxBucket)
-        .take(1).nonEmpty)
+    if (hotRows.exists(r => r.getLong(1) <= idx.maxBucket))
       System.err.println(
         "[graft.dedup.Dedup] WARNING: this batch pushes at least one LSH band " +
           s"bucket past maxBucket=${idx.maxBucket} (standing size was under the " +
@@ -753,7 +760,10 @@ object Dedup {
           "standing cluster state and exact batch equality is not guaranteed " +
           "for pairs in the flooded bucket; re-bootstrap the index " +
           "(buildSurvivorIndex) on the union to restore the exact regime")
-    val touched = touchedFull.select("bucket", "bsz")
+    // rows under the cap are never read by capBucketsWith (left join →
+    // nb = 1), so the hot set IS a sufficient census
+    val touched = hotRows.map(r => (r.getString(0), r.getLong(2)))
+      .toSeq.toDF("bucket", "bsz")
     val standingTouched = idx.banded
       .join(broadcast(delta.select("bucket")), Seq("bucket"), "left_semi")
     val probeSide = capBucketsWith(bBanded, touched, idx.maxBucket)

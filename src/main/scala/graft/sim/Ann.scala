@@ -192,7 +192,19 @@ object Ann extends Serializable {
       idx: IvfIndex,
       batch: DataFrame,
       idCol: String,
-      vecCol: String): IvfIndex = {
+      vecCol: String): IvfIndex =
+    ivfAppendDelta(spark, idx, batch, idCol, vecCol)._1
+
+  /** [[ivfAppend]] with the BATCH's assigned rows exposed separately —
+    * what a delta state writer persists instead of rewriting the
+    * corpus-scale assigned relation per fold (the relation is
+    * append-only: a fold never touches standing rows). */
+  def ivfAppendDelta(
+      spark: SparkSession,
+      idx: IvfIndex,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): (IvfIndex, DataFrame) = {
     import spark.implicits._
     val centB = idx.centroids
     val assignedB = batch
@@ -210,7 +222,7 @@ object Ann extends Serializable {
         (nearestCell(centB.value, v.toArray), id, v)
       }
       .toDF("cell", "nbr_id", "cv")
-    IvfIndex(idx.assigned.unionByName(assignedB), centB)
+    (IvfIndex(idx.assigned.unionByName(assignedB), centB), assignedB)
   }
 
   /** Cell-population skew of an [[IvfIndex]] — the DRIFT MONITOR for the

@@ -839,11 +839,6 @@ object Streaming {
     val prev = vs.readLatest()
     if (prev.exists(_ >= batchId)) return
     if (batch.isEmpty) return
-    def commit(next: graft.sim.Ann.IvfIndex): Unit =
-      vs.commitParts(batchId,
-        Seq("assigned" -> next.assigned,
-          "centroids" -> centroidsDf(spark, next.centroids.value)),
-        prev)
     prev match {
       case None =>
         // release EXACTLY the scratch ivfAssign registers during this
@@ -851,12 +846,21 @@ object Streaming {
         // this fold on its own thread mid-build keeps its pending
         // signature frames (round-6 advice)
         val mark = graft.dedup.Dedup.sigMark()
-        commit(graft.sim.Ann.buildIvfIndex(spark, batch, idCol, vecCol))
+        val next = graft.sim.Ann.buildIvfIndex(spark, batch, idCol, vecCol)
+        vs.commitWrites(batchId, Seq(
+          FullWrite("assigned", next.assigned),
+          FullWrite("centroids", centroidsDf(spark, next.centroids.value))), prev)
         graft.dedup.Dedup.releaseSignaturesSince(mark)
       case Some(v) =>
-        val next = graft.sim.Ann.ivfAppend(spark, readIvfIndex(spark, vs, v),
-          batch, idCol, vecCol)
-        commit(next)
+        // the assigned relation is APPEND-ONLY (a fold never touches
+        // standing rows) — land just the batch's rows as a delta
+        // (round-7: the same full-rewrite class the cluster/dup-ngram
+        // sinks shed); centroids are frozen and tiny, re-landed full
+        val (next, assignedB) = graft.sim.Ann.ivfAppendDelta(
+          spark, readIvfIndex(spark, vs, v), batch, idCol, vecCol)
+        vs.commitWrites(batchId, Seq(
+          DeltaWrite("assigned", assignedB),
+          FullWrite("centroids", centroidsDf(spark, next.centroids.value))), prev)
         // drift monitor (round-6 verdict item 5): cell-population skew
         // per fold, against the committed (just-written) relation — one
         // bounded aggregation; the re-index threshold is documented on
